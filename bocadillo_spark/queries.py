@@ -1,0 +1,419 @@
+"""Query registry: every implemented operator exposed as
+(spark, sf_dir) -> DataFrame plus, where SQL-expressible, an exactly
+equivalent DuckDB oracle string. This is the driver's correctness gate
+(CORRECTNESS_r{N}.json) and mirrors the reference's insert→decode→compare
+round-trip tests (/root/reference/tests/suite_test.go:190-279).
+
+Conventions that keep the cross-engine value-hash stable:
+- every computed column aliased identically in Spark and SQL;
+- money/float aggregates go through DECIMAL(18,x) (exact) and are cast to
+  DOUBLE at the very end — bit-identical across engines;
+- timestamps in outputs are formatted to strings explicitly;
+- top-k orderings always carry an integer tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .operators.aggregate import route_metrics, sink_counts, sink_counts_salted
+from .operators.parse import parse_events, with_attrs, with_host
+from .operators.route import build_routing_dim, route
+from .synth import (
+    INVALID_UTF8_MOD,
+    INVALID_UTF8_REM,
+    pages_cte_sql,
+    routed_cte_sql,
+    synth_pages,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_PARSED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _parsed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed event rows, cached per (session, sf_dir): several registry
+    queries share this subtree, and caching it mirrors the production shape
+    (parse once, fan out many consumers from the persisted routed DF —
+    SURVEY.md §4 explicit-repartition note)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PARSED_CACHE:
+        _PARSED_CACHE[key] = parse_events(with_host(synth_pages(spark, sf_dir))).cache()
+    return _PARSED_CACHE[key]
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return route(_parsed_events(spark, sf_dir), build_routing_dim(spark))
+
+
+_PIPE_CTES = f"WITH {pages_cte_sql()}, {routed_cte_sql()}"
+
+
+# ------------------------------------------------------------ pipeline core
+
+
+@query(
+    "route_counts",
+    f"""{_PIPE_CTES}
+    SELECT sink_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM routed GROUP BY sink_id, event_type""",
+)
+def q_route_counts(spark, sf_dir):
+    """Flagship: parse→broadcast-route→per-sink counts (north_rule)."""
+    return sink_counts(_routed(spark, sf_dir))
+
+
+@query(
+    "route_counts_salted",
+    f"""{_PIPE_CTES}
+    SELECT sink_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM routed GROUP BY sink_id, event_type""",
+)
+def q_route_counts_salted(spark, sf_dir):
+    """Salted two-phase aggregation — must equal route_counts exactly."""
+    return sink_counts_salted(_routed(spark, sf_dir)).select(
+        "sink_id", "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
+@query(
+    "route_metrics",
+    f"""{_PIPE_CTES}
+    SELECT route_reason, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+    FROM routed GROUP BY route_reason""",
+)
+def q_route_metrics(spark, sf_dir):
+    return route_metrics(_routed(spark, sf_dir))
+
+
+@query(
+    "parse_events_typed",
+    f"""{_PIPE_CTES}
+    SELECT url, seq, event_type, doc_id AS k1, CAST(seq AS BIGINT) AS k2
+    FROM page_events""",
+)
+def q_parse_events_typed(spark, sf_dir):
+    """Typed event rows with attrs map decoded natively (str_to_map)."""
+    ev = with_attrs(_parsed_events(spark, sf_dir))
+    return ev.filter(F.col("parse_status") == "ok").select(
+        "url",
+        "seq",
+        "event_type",
+        F.col("attrs")["k1"].cast("long").alias("k1"),
+        F.col("attrs")["k2"].cast("long").alias("k2"),
+    )
+
+
+@query(
+    "text_extraction_hash",
+    f"""{_PIPE_CTES}
+    SELECT url, md5(text) AS text_md5
+    FROM pages
+    WHERE NOT empty_html AND doc_id % {INVALID_UTF8_MOD} <> {INVALID_UTF8_REM}""",
+)
+def q_text_extraction_hash(spark, sf_dir):
+    """Per-url hash of the extracted text bytes — the byte-equality
+    invariant, SQL-checkable for the pure-UTF8 population (the raw-bytes
+    fixtures are byte-compared against refparser in pytest instead)."""
+    ev = _parsed_events(spark, sf_dir)
+    seq0 = ev.filter((F.col("parse_status") == "ok") & (F.col("seq") == 0))
+    seq0 = with_attrs(seq0).withColumn("k1", F.col("attrs")["k1"].cast("long"))
+    return seq0.filter(
+        F.col("k1") % INVALID_UTF8_MOD != INVALID_UTF8_REM
+    ).select("url", F.md5(F.col("text_bytes")).alias("text_md5"))
+
+
+@query(
+    "meta_lang_counts",
+    f"""{_PIPE_CTES}
+    SELECT lang AS meta_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pages WHERE NOT empty_html GROUP BY lang""",
+)
+def q_meta_lang_counts(spark, sf_dir):
+    """Grok-extract of <meta lang> from html — regex-predicate analog of
+    the reference's ALTER-detector (/root/reference/reader/schema/manager.go:72-80)."""
+    ev = _parsed_events(spark, sf_dir)
+    return (
+        ev.filter((F.col("parse_status") == "ok") & (F.col("seq") == 0))
+        .groupBy(F.col("meta_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "top_hosts",
+    f"""{_PIPE_CTES}
+    SELECT * FROM (
+      SELECT printf('h%03d', host_id) AS host, CAST(count(*) AS BIGINT) AS n
+      FROM page_events GROUP BY host_id
+    ) ORDER BY n DESC, host LIMIT 10""",
+)
+def q_top_hosts(spark, sf_dir):
+    """Top-k hot hosts (the skew fixture made visible)."""
+    ev = _parsed_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("parse_status") == "ok")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("host"))
+        .limit(10)
+    )
+
+
+# ------------------------------------------------- relational / TPC-H-ish
+
+
+@query(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+         CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double").alias("sum_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """SELECT n.n_name,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name""",
+)
+def q_revenue_by_nation(spark, sf_dir):
+    """Fact ⋈ broadcast(dim) ⋈ broadcast(dim): no fact-side shuffle before
+    the aggregate — the 100 TB-safe star-join shape."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "top_users_by_value",
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY user_id
+       ORDER BY total_value DESC, user_id LIMIT 10""",
+)
+def q_top_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "json_extract_agg",
+    """SELECT event_type,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY event_type""",
+)
+def q_json_extract(spark, sf_dir):
+    """JSON props decode — the binary-JSON analog
+    (/root/reference/mysql/json.go:43-473) via native get_json_object."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "latest_event_per_user",
+    """SELECT user_id, event_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+       FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events
+       ) WHERE rn = 1""",
+)
+def q_latest_event_per_user(spark, sf_dir):
+    """Latest-version-wins dedup — the arrival-order analog (SURVEY.md §2.5)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+@query(
+    "sessionize",
+    """SELECT user_id, CAST(1 + SUM(is_new) AS BIGINT) AS n_sessions,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM (
+         SELECT user_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+         FROM events
+       ) GROUP BY user_id""",
+)
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    secs = F.col("ts").cast("timestamp").cast("long")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            secs - F.lag(secs).over(w) > 1800,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        (F.lit(1) + F.sum("is_new")).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ----------------------------------------------- training-data operators
+
+
+@query(
+    "dedup_exact",
+    """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+              CAST(count(*) AS BIGINT) AS n_dups
+       FROM documents GROUP BY md5(text)""",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content fingerprint, keep min id."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", F.md5(F.col("text").cast("binary")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+@query(
+    "text_stats",
+    """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x = 'the' OR x = 'a')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio
+       FROM documents""",
+)
+def q_text_stats(spark, sf_dir):
+    """Token counting + quality scoring, all JVM-side expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stops = F.filter(toks, lambda x: (x == "the") | (x == "a"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(stops).cast("long").alias("n_stop"),
+        (F.size(stops).cast("double") / F.size(toks)).alias("stop_ratio"),
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+           SELECT q.q_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.qe, c.ce) AS cos
+           FROM q CROSS JOIN c),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM scored)
+       SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim
+       FROM ranked WHERE rn <= 10""",
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over array<float> embeddings — the exact
+    baseline for ANN. Dot products via native zip_with/aggregate (JVM,
+    codegen), broadcast of the tiny query side: scales as one pass over
+    the candidate table."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cos",
+        dot(F.col("qe"), F.col("ce"))
+        / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"))
+    )
