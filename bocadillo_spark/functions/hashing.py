@@ -1,0 +1,114 @@
+"""Deterministic hashing kernels for dedup/fingerprinting.
+
+Pure numpy/Python, shared between the vectorized Spark operators and their
+pytest oracles (the dual scalar/vectorized pattern from SURVEY.md §7).
+Everything is seeded/constant: a rerun produces identical signatures, the
+property the driver's rerun-per-round comparison relies on.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+MERSENNE61 = (1 << 61) - 1
+_SEED = 42
+
+N_PERM = 64  # minhash permutations
+N_BANDS = 16  # LSH bands (x 4 rows/band)
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+_rs = np.random.RandomState(_SEED)
+_A = _rs.randint(1, MERSENNE61, size=N_PERM, dtype=np.int64).astype(np.uint64)
+_B = _rs.randint(0, MERSENNE61, size=N_PERM, dtype=np.int64).astype(np.uint64)
+
+SIMHASH_BITS = 64
+
+
+def stable_hash64(token: str) -> int:
+    """Deterministic 64-bit token hash (blake2b; NOT Python hash(), which is
+    salted per process)."""
+    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """N_PERM-wide minhash over word k-shingles (uint64)."""
+    sh = word_shingles(text, k)
+    if not sh:
+        return np.full(N_PERM, MERSENNE61, dtype=np.uint64)
+    hv = np.fromiter((stable_hash64(s) for s in sh), dtype=np.uint64, count=len(sh))
+    # (a*x + b) mod p, vectorized over (perm, shingle)
+    prods = (_A[:, None] * (hv[None, :] % MERSENNE61) + _B[:, None]) % MERSENNE61
+    return prods.min(axis=1)
+
+
+def band_keys(sig: np.ndarray) -> list[str]:
+    """LSH banding: N_BANDS keys; equal key in any band → candidate pair."""
+    out = []
+    for b in range(N_BANDS):
+        chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+        out.append(f"{b}:{h}")
+    return out
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    a, b = set(word_shingles(text_a, k)), set(word_shingles(text_b, k))
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (term-frequency weighted)."""
+    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    for tok in text.split():
+        h = stable_hash64(tok)
+        bits = (h >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(SIMHASH_BITS):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(data: bytes, base: int = 1_000_003) -> int:
+    """Polynomial rolling hash of raw bytes mod 2^61-1 — the document
+    fingerprint. numpy O(n) with precomputed powers."""
+    if not data:
+        return 0
+    h = 0
+    for v in data:
+        h = (h * base + v) % MERSENNE61
+    return h
+
+
+# random hyperplanes for embedding LSH (fixed seed)
+_HP_SEED = 7
+N_HYPERPLANES = 16
+
+
+def hyperplanes(dim: int) -> np.ndarray:
+    rs = np.random.RandomState(_HP_SEED)
+    return rs.normal(size=(N_HYPERPLANES, dim)).astype(np.float64)
+
+
+def lsh_bucket(vec: np.ndarray, planes: np.ndarray) -> int:
+    """Sign-random-projection bucket id."""
+    signs = (planes @ vec) > 0
+    return int(sum(1 << i for i, s in enumerate(signs) if s))

@@ -1,0 +1,72 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video are `binary` columns with a metadata struct; all Spark
+plumbing (schema, batching, partition shape) is real and tested, while the
+actual codec step is stubbed (no image/audio libs in this container):
+- decode_image / sample_frames raise NotImplementedError behind a clearly
+  marked seam, exactly where PIL/ffmpeg would slot in;
+- byte_histogram is a deterministic REAL feature extractor (16-bucket byte
+  histogram via numpy bincount) so the end-to-end path is exercisable.
+
+Batch shape note: mapInPandas streams Arrow record batches, so one 100 MB
+video row never materializes the whole partition — the right shape for
+multimodal payloads at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HIST_BUCKETS = 16
+HIST_SCHEMA = f"url string, n_bytes long, hist array<long>"
+META_SCHEMA = "url string, media_type string, n_bytes long, is_valid boolean"
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """STUB: real impl would be PIL.Image.open(BytesIO(payload)). The
+    container ships no imaging libs; the Spark-side plumbing around this
+    seam is what's real and tested."""
+    raise NotImplementedError("image decode requires PIL/opencv — not in this container")
+
+
+def sample_frames(payload: bytes, every_n: int = 10) -> list[bytes]:
+    """STUB: real impl would shell to ffmpeg / use pyav."""
+    raise NotImplementedError("video frame sampling requires ffmpeg — not in this container")
+
+
+def _hist_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        hists, sizes = [], []
+        for payload in pdf["payload"]:
+            if payload is None or len(payload) == 0:
+                sizes.append(0)
+                hists.append([0] * HIST_BUCKETS)
+                continue
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            h = np.bincount(arr >> 4, minlength=HIST_BUCKETS)
+            sizes.append(len(payload))
+            hists.append(h.astype("int64").tolist())
+        yield pd.DataFrame({"url": pdf["url"], "n_bytes": sizes, "hist": hists})
+
+
+def byte_histogram(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Deterministic fake 'feature extraction' over an opaque binary column:
+    16-bucket histogram of high nibbles. Real numpy work, Arrow-batched."""
+    return df.select("url", F.col(payload_col).alias("payload")).mapInPandas(
+        _hist_batches, HIST_SCHEMA
+    )
+
+
+def media_metadata(df: DataFrame, payload_col: str = "html", media_type: str = "text/html") -> DataFrame:
+    """Typed metadata projection over a binary column — native only."""
+    return df.select(
+        "url",
+        F.lit(media_type).alias("media_type"),
+        F.coalesce(F.length(F.col(payload_col)), F.lit(0)).cast("long").alias("n_bytes"),
+        (F.length(F.col(payload_col)) > 0).alias("is_valid"),
+    )

@@ -114,6 +114,83 @@ def _parse_iter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield _parse_batch(pdf)
 
 
+# ------------------------------------------------------------ native parse
+#
+# The same extraction, fully JVM-side: decode(html,'ISO-8859-1') maps bytes
+# 1:1 to codepoints (lossless, like the pandas latin-1 path), so Java regex
+# over that string is byte-exact, and encode(...,'ISO-8859-1') restores the
+# original bytes. Everything stays inside whole-stage codegen — measured on
+# this box the Python-worker path stops scaling past ~8 concurrent workers,
+# while this plan scales with cores. The pandas twin below is kept as the
+# Arrow-UDF reference implementation; tests assert both produce identical
+# rows.
+
+_MARK_J = "Â§"  # 'Â§' — the latin-1 view of b'\xc2\xa7'
+_EVENT_PAT_J = f"(?s){_MARK_J}EVT\\|([a-z]+)\\|(.*?){_MARK_J}"
+_BODY_PAT_J = "(?s)<body>(.*)</body>"
+_META_PAT_J = '<meta lang="([a-z]+)"'
+
+
+def parse_events_native(pages: DataFrame) -> DataFrame:
+    if "host" not in pages.columns:
+        pages = with_host(pages)
+    s = F.decode(F.col("html"), "ISO-8859-1")
+    base = pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "host",
+        s.alias("s"),
+    ).withColumns(
+        {
+            "ok": F.col("s").rlike(_BODY_PAT_J),
+            "body": F.regexp_extract("s", _BODY_PAT_J, 1),
+            "meta_lang_raw": F.regexp_extract("s", _META_PAT_J, 1),
+        }
+    )
+    exploded = base.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "host",
+        "ok",
+        "body",
+        "meta_lang_raw",
+        F.posexplode_outer(
+            F.when(
+                F.col("ok"),
+                F.regexp_extract_all("body", F.lit(_EVENT_PAT_J), 0),
+            )
+        ).alias("pos", "seg"),
+    )
+    is_err = ~F.col("ok")
+    no_events = F.col("ok") & F.col("seg").isNull()
+    seq = F.coalesce(F.col("pos"), F.lit(0)).cast("int")
+    text_b = F.encode(F.regexp_replace("body", _EVENT_PAT_J, ""), "ISO-8859-1")
+    return exploded.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "host",
+        seq.alias("seq"),
+        F.when(is_err, F.lit("parse_error"))
+        .when(no_events, F.lit("none"))
+        .otherwise(F.regexp_extract("seg", _EVENT_PAT_J, 1))
+        .alias("event_type"),
+        F.when(~is_err & ~no_events, F.regexp_extract("seg", _EVENT_PAT_J, 2)).alias(
+            "payload"
+        ),
+        F.when(~is_err & (F.col("meta_lang_raw") != ""), F.col("meta_lang_raw")).alias(
+            "meta_lang"
+        ),
+        F.when(~is_err & (seq == 0), text_b).alias("text_bytes"),
+        F.when(is_err, F.lit(PARSE_ERROR)).otherwise(F.lit(PARSE_OK)).alias(
+            "parse_status"
+        ),
+        F.when(is_err, F.lit(ERR_NO_BODY)).alias("error_msg"),
+    )
+
+
 def with_host(pages: DataFrame) -> DataFrame:
     """Native (codegen'd) host projection — the peek-before-decode pattern
     (/root/reference/binlog/event_rows.go:34-39): cheap metadata first,
@@ -121,16 +198,29 @@ def with_host(pages: DataFrame) -> DataFrame:
     return pages.withColumn("host", F.regexp_extract("url", HOST_RE, 1))
 
 
-def parse_events(pages: DataFrame) -> DataFrame:
-    """pages(url, warc_ts, html, lang[, host]) → typed event rows.
-
-    One output row per embedded event record; pages that fail to frame
-    yield exactly one parse_error row routed to the error sink downstream.
-    """
+def parse_events_pandas(pages: DataFrame) -> DataFrame:
+    """Arrow-batched pandas twin of parse_events_native (same output rows)."""
     if "host" not in pages.columns:
         pages = with_host(pages)
     cols = ["url", "warc_ts", "lang", "host", "html"]
     return pages.select(*cols).mapInPandas(_parse_iter, schema=EVENTS_SCHEMA)
+
+
+def parse_events(pages: DataFrame, engine: str | None = None) -> DataFrame:
+    """pages(url, warc_ts, html, lang[, host]) → typed event rows.
+
+    One output row per embedded event record; pages that fail to frame
+    yield exactly one parse_error row routed to the error sink downstream.
+
+    engine: 'native' (default — JVM regex, whole-stage codegen) or 'pandas'
+    (Arrow-batched UDF). Overridable via $SPARK_GRAFT_PARSE_ENGINE.
+    """
+    import os
+
+    engine = engine or os.environ.get("SPARK_GRAFT_PARSE_ENGINE", "native")
+    if engine == "pandas":
+        return parse_events_pandas(pages)
+    return parse_events_native(pages)
 
 
 def with_attrs(events: DataFrame) -> DataFrame:

@@ -369,6 +369,115 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+@query("dedup_minhash")
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
+    Jaccard-verify) over documents + planted near-dups. Rows-only check:
+    probabilistic recall has no SQL oracle; pytest verifies planted-pair
+    recall and Jaccard exactness."""
+    from .operators.dedup import augment_with_near_dups, minhash_dedup_pairs
+
+    docs = augment_with_near_dups(_t(spark, sf_dir, "documents"))
+    return minhash_dedup_pairs(docs, threshold=0.8).select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query("dedup_simhash")
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs: 64-bit signatures, 16-bit chunk blocking
+    (pigeonhole), native bit_count Hamming verify."""
+    from .operators.dedup import (
+        augment_with_near_dups,
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    docs = augment_with_near_dups(_t(spark, sf_dir, "documents"))
+    return simhash_near_dup_pairs(simhash_signatures(docs), max_hamming=6)
+
+
+@query("doc_fingerprint")
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling polynomial hash (mod 2^61-1) per document."""
+    from .operators.textops import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@query("lang_id")
+def q_lang_id(spark, sf_dir):
+    """Stopword-profile language-ID heuristic."""
+    from .operators.textops import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_scores",
+    """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x = 'the' OR x = 'a')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio
+       FROM documents""",
+)
+def q_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stops = F.filter(toks, lambda x: (x == "the") | (x == "a"))
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9_ ]", "")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(stops).cast("double") / F.size(toks)).alias("stop_ratio"),
+        (n_punct.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("punct_ratio"),
+    )
+
+
+@query("ann_lsh_topk")
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (sign random projection, hamming
+    probe) — the scale path next to the brute-force baseline."""
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, n_queries=5, k=10, probe_hamming=4).select(
+        "q_id", "neighbor_id", F.round("cos", 4).alias("cos_sim")
+    )
+
+
+@query("byte_histogram")
+def q_byte_histogram(spark, sf_dir):
+    """Multimodal plumbing demo: opaque-binary feature extraction (16-bucket
+    byte histogram) over the synthesized html column, Arrow-batched."""
+    from .operators.multimodal import byte_histogram
+
+    pages = synth_pages(spark, sf_dir)
+    return byte_histogram(pages, "html")
+
+
+@query(
+    "media_metadata",
+    f"""WITH {pages_cte_sql()}
+    SELECT url, 'text/html' AS media_type, NOT empty_html AS is_valid
+    FROM pages""",
+)
+def q_media_metadata(spark, sf_dir):
+    """Typed metadata over a binary media column (native exprs only).
+    n_bytes is pytest-checked (html length isn't analytic in SQL)."""
+    from .operators.multimodal import media_metadata
+
+    pages = synth_pages(spark, sf_dir)
+    return media_metadata(pages, "html").select("url", "media_type", "is_valid")
+
+
 @query(
     "ann_cosine_topk",
     """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe

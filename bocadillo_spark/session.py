@@ -44,6 +44,11 @@ def get_spark(
         # Exact-count guarantee under retry: no speculative duplicate tasks
         # (SURVEY.md §7 hard part (b)).
         .config("spark.speculation", "false")
+        # Stable Python-worker pool: without these, high-concurrency
+        # (local[32]) mapInPandas stages showed 2-10x jitter from worker
+        # churn/re-fork storms (measured on this box, see BENCH notes).
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeoutSeconds", "600")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,58 @@
+"""Structured-Streaming assembly: resumable parse→route→fan-out.
+
+State model mapped from the reference (SURVEY.md §2.7):
+- T1 position (file, offset)   → checkpoint offset log (file-source offsets)
+- T2 safepoint                 → committed micro-batch: foreachBatch writes
+  each batch to its own overwrite-mode subtree + atomic manifest, so replay
+  after a kill is idempotent (exactly-once effect)
+- T3 rotate                    → new files discovered by the file source
+- T5 state eviction            → the broadcast dim is reloaded per batch
+  inside foreachBatch (no unbounded executor state)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.parse import parse_events, with_host
+from ..operators.route import build_routing_dim, route
+from ..plans.sinks import write_fanout
+from ..sources.pages import stream_pages
+
+
+def start_pipeline_stream(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 2,
+) -> StreamingQuery:
+    pages = stream_pages(spark, pages_path, max_files_per_trigger)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        # dim reload per batch = schema-refresh analog
+        # (/root/reference/reader/schema/manager.go:34-42)
+        dim = build_routing_dim(batch_df.sparkSession)
+        routed = route(parse_events(with_host(batch_df)), dim)
+        write_fanout(routed, out_dir, batch_id=batch_id)
+
+    return (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_to_completion(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 2,
+) -> None:
+    q = start_pipeline_stream(
+        spark, pages_path, out_dir, checkpoint_dir, max_files_per_trigger
+    )
+    q.awaitTermination()

@@ -177,6 +177,31 @@ def write_pages(spark, sf_dir: str, out_dir: str, num_partitions: int = 32) -> s
     return out_dir
 
 
+REPLICA_STRIDE = 10_000_000
+
+
+def synth_pages_scaled(spark, sf_dir: str, replicas: int, num_partitions: int = 64):
+    """Bench-scale pages: replicate documents `replicas`× with disjoint
+    doc_id ranges (doc_id + r*stride) — still fully deterministic, urls
+    stay unique, fixture predicates keep firing at the same rates. This is
+    how the sandbox stands in for the 10^12-document table."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    r = spark.range(replicas).select(F.col("id").alias("replica"))
+    scaled = docs.crossJoin(r).select(
+        (F.col("doc_id") + F.col("replica") * F.lit(REPLICA_STRIDE)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+    )
+    return scaled.repartition(num_partitions).mapInPandas(
+        _synth_batches, schema=PAGES_SCHEMA
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 

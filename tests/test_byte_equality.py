@@ -8,20 +8,43 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from bocadillo_spark import refparser as rp
 from bocadillo_spark import synth
-from bocadillo_spark.operators.parse import parse_events, with_attrs, with_host
+from bocadillo_spark.operators.parse import (
+    parse_events,
+    parse_events_native,
+    parse_events_pandas,
+    with_attrs,
+    with_host,
+)
 from bocadillo_spark.operators.route import build_routing_dim, route
 from bocadillo_spark.synth import synth_pages
 
 
-def _collect_parsed(spark, sf_dir):
+def _collect_parsed(spark, sf_dir, engine="native"):
     pages = synth_pages(spark, sf_dir)
-    return pages, parse_events(with_host(pages))
+    return pages, parse_events(with_host(pages), engine=engine)
 
 
-def test_text_bytes_identical_per_url(spark, sf_dir):
-    pages, parsed = _collect_parsed(spark, sf_dir)
+def test_native_equals_pandas_rowset(spark, sf_dir):
+    """The JVM-native parse and the Arrow/pandas parse are interchangeable:
+    identical row multisets, bytes included."""
+    pages = with_host(synth_pages(spark, sf_dir))
+
+    def norm(df):
+        return sorted(
+            tuple(bytes(x) if isinstance(x, (bytes, bytearray)) else x for x in r)
+            for r in df.collect()
+        )
+
+    assert norm(parse_events_native(pages)) == norm(parse_events_pandas(pages))
+
+
+@pytest.mark.parametrize("engine", ["native", "pandas"])
+def test_text_bytes_identical_per_url(spark, sf_dir, engine):
+    pages, parsed = _collect_parsed(spark, sf_dir, engine)
     got = {
         r["url"]: r["text_bytes"]
         for r in parsed.filter(

@@ -1,0 +1,82 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash — planted-pair recall and
+kernel determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bocadillo_spark.functions import hashing as H
+from bocadillo_spark.operators.dedup import (
+    NEAR_DUP_STRIDE,
+    augment_with_near_dups,
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+
+
+def test_minhash_kernel_determinism():
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    s1, s2 = H.minhash_signature(t), H.minhash_signature(t)
+    assert (s1 == s2).all()
+    assert H.band_keys(s1) == H.band_keys(s2)
+    assert H.simhash64(t) == H.simhash64(t)
+    assert H.rolling_fingerprint(t.encode()) == H.rolling_fingerprint(t.encode())
+
+
+def test_jaccard_kernel():
+    assert H.jaccard("a b c d e", "a b c d e") == 1.0
+    assert H.jaccard("a b c", "x y z") == 0.0
+    assert 0.0 < H.jaccard("a b c d e f g h", "a b c d e f g zz") < 1.0
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    res = {r["fp"]: (r["keep_id"], r["n_dups"]) for r in exact_dedup(docs).collect()}
+    assert sorted(v[1] for v in res.values()) == [1, 2]
+    assert any(v == (1, 2) for v in res.values())
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    docs = augment_with_near_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    )
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(docs, threshold=0.8).collect()
+    }
+    planted = [
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") < NEAR_DUP_STRIDE)
+        .where(F.col("doc_id") % 10 == 0)
+        .where(F.size(F.split("text", " ")) >= 40)  # long docs: jaccard ≥ .8 guaranteed
+        .collect()
+    ]
+    found = sum(1 for d in planted if (d, d + NEAR_DUP_STRIDE) in pairs)
+    assert planted, "fixture empty"
+    assert found / len(planted) >= 0.8, f"recall {found}/{len(planted)}"
+    # verified jaccard values are exact (match the pure-Python kernel)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for (a, b), j in list(pairs.items())[:20]:
+        assert abs(H.jaccard(texts[a], texts[b]) - j) < 1e-12
+
+
+def test_simhash_near_dups(spark, sf_dir):
+    docs = augment_with_near_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    )
+    sigs = simhash_signatures(docs)
+    pairs = simhash_near_dup_pairs(sigs, max_hamming=6).collect()
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs}
+    # hamming values agree with the pure-Python kernel
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in pairs[:20]:
+        a, b = texts[r["doc_id_a"]], texts[r["doc_id_b"]]
+        assert H.hamming64(H.simhash64(a), H.simhash64(b)) == r["hamming"]
+    # at least some planted pairs surface (perturbation is tiny)
+    planted_hits = [p for p in got if p[1] - p[0] == NEAR_DUP_STRIDE]
+    assert len(planted_hits) > 0

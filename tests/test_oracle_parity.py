@@ -43,12 +43,27 @@ def _rowset(cols, rows):
 
 
 ORACLE_NAMES = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY_NAMES = sorted(set(entrymod.queries()) - set(ORACLE_NAMES))
 
 
 def test_every_query_has_callable():
     qs = entrymod.queries()
     for name in entrymod.oracle_sql():
         assert name in qs
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_query_runs_deterministically(spark, sf_dir, name):
+    """Queries without a SQL oracle (probabilistic/bit-twiddling ops) still
+    must run, produce a stable schema, and be rerun-deterministic."""
+    fn = entrymod.queries()[name]
+    df1 = fn(spark, sf_dir)
+    rows1 = sorted(map(str, df1.collect()))
+    df2 = fn(spark, sf_dir)
+    rows2 = sorted(map(str, df2.collect()))
+    assert df1.schema == df2.schema
+    assert rows1 == rows2
+    assert len(rows1) >= 0
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)

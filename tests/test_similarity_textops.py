@@ -1,0 +1,115 @@
+"""Similarity search + text analysis + multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bocadillo_spark.functions import hashing as H
+from bocadillo_spark.operators import multimodal
+from bocadillo_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    split_query_candidates,
+)
+from bocadillo_spark.operators.textops import doc_fingerprints, lang_id
+from bocadillo_spark.synth import build_html, synth_pages
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q, c = split_query_candidates(emb, n_queries=3)
+    got = brute_force_topk(q, c, k=5).collect()
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for q_id in range(3):
+        qv = vecs[q_id]
+        sims = sorted(
+            (
+                (float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v))), vid)
+                for vid, v in vecs.items()
+                if vid >= 3
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        expect = [vid for _, vid in sims]
+        mine = [r["neighbor_id"] for r in sorted(
+            (g for g in got if g["q_id"] == q_id), key=lambda r: (-r["cos"], r["neighbor_id"])
+        )]
+        assert mine == expect, f"q{q_id}: {mine} vs {expect}"
+
+
+def test_lsh_topk_consistent_with_brute(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = lsh_topk(emb, n_queries=3, k=10, probe_hamming=8).collect()
+    assert len(got) > 0
+    # LSH cosines are exact for returned pairs (only candidate set is approx)
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for r in got[:20]:
+        qv, cv = vecs[r["q_id"]], vecs[r["neighbor_id"]]
+        ref = float(np.dot(qv, cv) / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+        assert abs(ref - r["cos"]) < 1e-9
+
+
+def test_lang_id_heuristic(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and the dog is here"),
+            (2, "der hund und die katze das ist ein haus"),
+            (3, "le chat et la maison est un endroit"),
+            (4, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_fingerprint_matches_kernel(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprints(docs).collect()}
+    for r in docs.collect():
+        assert got[r["doc_id"]] == H.rolling_fingerprint(r["text"].encode("utf-8"))
+
+
+def test_byte_histogram_matches_numpy(spark, sf_dir):
+    pages = synth_pages(spark, sf_dir).limit(20)
+    got = {r["url"]: (r["n_bytes"], r["hist"]) for r in multimodal.byte_histogram(pages).collect()}
+    for r in pages.select("url", "html").collect():
+        n, hist = got[r["url"]]
+        assert n == len(r["html"] or b"")
+        if n:
+            arr = np.frombuffer(r["html"], dtype=np.uint8)
+            assert hist == np.bincount(arr >> 4, minlength=16).astype("int64").tolist()
+        else:
+            assert hist == [0] * 16
+
+
+def test_media_metadata_and_stubs(spark, sf_dir):
+    pages = synth_pages(spark, sf_dir).limit(50)
+    meta = multimodal.media_metadata(pages, "html").collect()
+    by_url = {r["url"]: r for r in meta}
+    for r in pages.select("url", "html").collect():
+        assert by_url[r["url"]]["n_bytes"] == len(r["html"] or b"")
+        assert by_url[r["url"]]["is_valid"] == (len(r["html"] or b"") > 0)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(b"\x00\x00")
+
+
+def test_build_html_golden():
+    # pin one golden html so a refactor can't silently change the format
+    h = build_html(1, "ab", "en")
+    assert h == (
+        b'<html><head><meta lang="en"></head><body>'
+        b"\xc2\xa7EVT|update|k1=1;k2=0\xc2\xa7"
+        b"\xc2\xa7EVT|delete|k1=1;k2=1\xc2\xa7"
+        b"ab</body></html>"
+    )
