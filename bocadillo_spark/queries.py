@@ -326,6 +326,163 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+@query(
+    "events_windowed_counts",
+    """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_events_windowed_counts(spark, sf_dir):
+    """Event-time tumbling-window aggregate — the batch twin of the
+    streaming watermark+window operator (same F.window used in
+    streaming/stream.py tests)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "semi_join_active_customers",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "anti_join_idle_customers",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "union_distinct_engaged_users",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       UNION
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+def q_union_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.union(b).distinct()
+
+
+@query(
+    "pivot_user_event_values",
+    """SELECT user_id,
+         CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_value,
+         CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view_value,
+         CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+       FROM events GROUP BY user_id""",
+)
+def q_pivot(spark, sf_dir):
+    """Pivot via conditional aggregation (names pinned for the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def val(et):
+        return (
+            F.sum(
+                F.when(F.col("event_type") == et, F.col("value").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias(f"{et}_value")
+        )
+
+    return ev.groupBy("user_id").agg(val("click"), val("view"), val("purchase"))
+
+
+@query(
+    "rollup_pricing",
+    """SELECT l_returnflag, l_linestatus,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "cube_order_stats",
+    """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def q_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "distinct_parts_per_flag",
+    """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_distinct_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "top_parts_by_size",
+    """SELECT p_brand, p_partkey, p_size, rnk FROM (
+         SELECT p_brand, p_partkey, p_size,
+                rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) AS rnk
+         FROM part) WHERE rnk <= 3""",
+)
+def q_top_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_size"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_size", "rnk")
+    )
+
+
+@query("approx_vs_exact_distinct")
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) next to the exact count — rows-only
+    (no cross-engine oracle for sketches; Spark's HLL is rerun-stable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
 # ----------------------------------------------- training-data operators
 
 
