@@ -86,6 +86,34 @@ def _fingerprint_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+ZSCORE_SCHEMA = "user_id long, event_id long, value double, zscore double"
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = pdf["value"].mean()
+    sd = pdf["value"].std(ddof=0)
+    z = (pdf["value"] - mu) / sd if sd and sd > 0 else pdf["value"] * 0.0
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "value": pdf["value"],
+            "zscore": z.round(9),
+        }
+    )
+
+
+def zscore_per_user(events: DataFrame) -> DataFrame:
+    """Grouped-map applyInPandas: whole-group normalization (the shape for
+    per-group model scoring / feature normalization at scale — one shuffle
+    on the group key, pandas per group)."""
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_zscore_group, ZSCORE_SCHEMA)
+    )
+
+
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """Rolling polynomial hash over the raw text bytes (mod 2^61-1 — fits
     LongType exactly)."""

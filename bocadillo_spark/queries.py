@@ -636,6 +636,83 @@ def q_media_metadata(spark, sf_dir):
 
 
 @query(
+    "dedup_embedding",
+    """WITH aug AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         UNION ALL
+         SELECT vec_id + 10000,
+                list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01 + 0.001)
+         FROM embeddings WHERE vec_id % 10 = 0
+       )
+       SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+              round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+       FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.e, b.e) >= 0.99""",
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over embeddings + planted variants
+    (v*1.01 + 0.001 — same construction in the oracle). All-pairs exact at
+    this scale; the 100 TB path prefilters candidates with the LSH buckets
+    (operators/similarity.py) before the exact verify."""
+    from .operators.similarity import cosine_col
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    variants = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("e", lambda x: x * F.lit(1.01) + F.lit(0.001)).alias("e"),
+    )
+    aug = emb.unionByName(variants)
+    a = aug.select(F.col("vec_id").alias("vec_id_a"), F.col("e").alias("ea"))
+    b = aug.select(F.col("vec_id").alias("vec_id_b"), F.col("e").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+    scored = pairs.withColumn("cos", cosine_col(F.col("ea"), F.col("eb")))
+    return scored.where(F.col("cos") >= 0.99).select(
+        "vec_id_a", "vec_id_b", F.round("cos", 6).alias("cos_sim")
+    )
+
+
+@query(
+    "asof_join_last_click",
+    """SELECT event_id, user_id,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id
+       FROM events QUALIFY event_type = 'purchase'""",
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (Spark has no native one): for each purchase, the most
+    recent strictly-prior click by the same user — the union+ordered-window
+    composition, one shuffle on the join key, no applyInPandas needed."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "last_click_id",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return tagged.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "last_click_id"
+    )
+
+
+@query("grouped_zscore")
+def q_grouped_zscore(spark, sf_dir):
+    """Grouped-map applyInPandas (UDAF/grouped surface): per-user z-score of
+    event values. Rows-only: float std formulas differ across engines;
+    pytest checks against a numpy oracle."""
+    from .operators.textops import zscore_per_user
+
+    return zscore_per_user(_t(spark, sf_dir, "events"))
+
+
+@query(
     "ann_cosine_topk",
     """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
                   FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,59 @@
+"""Physical-plan guards: the properties that make the pipeline viable at
+100 TB must not silently regress — broadcast route join, column pruning
+through the native parse, predicate pushdown to parquet, single shuffle
+for the counts plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bocadillo_spark.operators.aggregate import sink_counts
+from bocadillo_spark.operators.parse import parse_events_native, with_host
+from bocadillo_spark.operators.route import build_routing_dim, route
+from bocadillo_spark.synth import synth_pages
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_counts_plan_shape(spark, sf_dir, tmp_path):
+    # materialize pages so the scan is a real parquet scan
+    path = str(tmp_path / "pages")
+    synth_pages(spark, sf_dir).write.parquet(path)
+    pages = spark.read.parquet(path)
+    plan = _formatted(
+        sink_counts(route(parse_events_native(with_host(pages)), build_routing_dim(spark)))
+    )
+    # dim lookup is a broadcast hash join, never a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # counts need url+html+lang only: warc_ts must be pruned at the scan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "warc_ts" not in read_schema
+    assert "html" in read_schema
+    # exactly one real shuffle (the final partial→final aggregate exchange);
+    # broadcast exchanges don't count
+    shuffles = [
+        l
+        for l in plan.splitlines()
+        if l.strip().startswith("(") is False
+        and "Exchange" in l
+        and "BroadcastExchange" not in l
+        and "Reused" not in l
+    ]
+    assert len(shuffles) <= 2, shuffles  # tree line + detail section
+
+
+def test_filter_pushdown_to_scan(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "pages2")
+    synth_pages(spark, sf_dir).write.parquet(path)
+    pages = spark.read.parquet(path)
+    plan = _formatted(pages.filter(F.col("lang") == "en").select("url", "lang"))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "html" not in read_schema  # projection pruned the fat column

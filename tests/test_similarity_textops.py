@@ -113,3 +113,20 @@ def test_build_html_golden():
         b"\xc2\xa7EVT|delete|k1=1;k2=1\xc2\xa7"
         b"ab</body></html>"
     )
+
+
+def test_grouped_zscore_matches_numpy(spark, sf_dir):
+    from bocadillo_spark.operators.textops import zscore_per_user
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {r["event_id"]: r["zscore"] for r in zscore_per_user(ev).collect()}
+    rows = ev.select("user_id", "event_id", "value").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["event_id"], r["value"]))
+    for user, evs in by_user.items():
+        vals = np.array([v for _, v in evs])
+        mu, sd = vals.mean(), vals.std()
+        for eid, v in evs:
+            want = (v - mu) / sd if sd > 0 else 0.0
+            assert abs(got[eid] - round(want, 9)) < 1e-8, (user, eid)
