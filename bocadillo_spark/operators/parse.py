@@ -71,7 +71,9 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame({c: pdf[c].take(page_idx).to_numpy() for c in _PAGE_COLS})
             out["seq"] = seq
             out["event_type"] = ev[0].to_numpy()
-            out["payload"] = ev[1].to_numpy()
+            # pandas extractall yields NaN for empty captures; the scalar
+            # oracle and the JVM engine both say empty string
+            out["payload"] = ev[1].fillna("").to_numpy()
             out["meta_lang"] = meta_lang.take(page_idx).to_numpy()
             # text payload carried once per page (seq 0), not duplicated per event
             tb = pd.Series(text_b.reindex(page_idx).to_numpy(), dtype=object)

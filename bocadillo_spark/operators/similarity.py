@@ -84,6 +84,73 @@ def with_lsh_bucket(emb: DataFrame, dim: int = 64) -> DataFrame:
     return emb.join(buckets, "vec_id")
 
 
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Coarse quantization: nearest centroid per vector — cross join against
+    the broadcast centroid set + native min_by argmin. At scale the
+    candidate table is written partitioned by `list_id`, so probes prune
+    whole partitions (the IVF inverted-list layout)."""
+    d = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", _sq_dist(F.col("e"), F.col("ce"))
+    )
+    return d.groupBy("vec_id").agg(
+        F.min_by("centroid_id", "dist").alias("list_id"),
+        F.first("e").alias("e"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    nprobe: int = 3,
+    centroid_mod: int = 25,
+) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids (every `centroid_mod`-th
+    vector — no training step, honest inverted-list structure), queries probe
+    their `nprobe` nearest lists, exact cosine within the probed lists."""
+    e = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    centroids = e.where(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    assigned = ivf_assign(e, centroids)
+
+    q = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    c = assigned.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "list_id"
+    )
+    # nprobe nearest centroid lists per query
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", _sq_dist(F.col("qe"), F.col("ce")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+            ),
+        )
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "qe", F.col("centroid_id").alias("list_id"))
+    )
+    cand = probes.join(c, "list_id")  # probe only the selected inverted lists
+    scored = cand.withColumn("cos", cosine_col(F.col("qe"), F.col("ce")))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cos")
+    )
+
+
 def lsh_topk(
     emb: DataFrame, n_queries: int = 5, k: int = 10, probe_hamming: int = 2, dim: int = 64
 ) -> DataFrame:

@@ -610,6 +610,50 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+@query("ann_ivf_topk")
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (coarse quantize → probe nprobe inverted lists →
+    exact cosine). Rows-only; pytest measures recall vs brute force."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, n_queries=5, k=10, nprobe=3).select(
+        "q_id", "neighbor_id", F.round("cos", 4).alias("cos_sim")
+    )
+
+
+@query(
+    "multires_rollup",
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+              event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_multires_rollup(spark, sf_dir):
+    """Hypertable-style rollup cascade: raw → 1-minute partials → 1-hour
+    re-aggregation FROM THE PARTIALS. At 100 TB only the fine rollup ever
+    scans raw data; coarser resolutions aggregate ~60x fewer rows. The
+    oracle aggregates raw directly — exactness holds because the partials
+    carry decimal sums (associative, no float drift)."""
+    ev = _t(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.window("ts", "1 minute").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    hour = (
+        minute.groupBy(F.window(F.col("w.start"), "1 hour").alias("h"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    return hour.select(
+        F.date_format(F.col("h.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+
+
 @query("byte_histogram")
 def q_byte_histogram(spark, sf_dir):
     """Multimodal plumbing demo: opaque-binary feature extraction (16-bucket

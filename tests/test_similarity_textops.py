@@ -130,3 +130,21 @@ def test_grouped_zscore_matches_numpy(spark, sf_dir):
         for eid, v in evs:
             want = (v - mu) / sd if sd > 0 else 0.0
             assert abs(got[eid] - round(want, 9)) < 1e-8, (user, eid)
+
+
+def test_ivf_topk_recall_vs_brute(spark, sf_dir):
+    from bocadillo_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q, c = split_query_candidates(emb, n_queries=5)
+    exact = {}
+    for r in brute_force_topk(q, c, k=10).collect():
+        exact.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ivf_topk(emb, n_queries=5, k=10, nprobe=3).collect():
+        approx.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    # probing 3/20 lists: recall is partial but must be nonzero and the
+    # returned cosines exact (candidate set is the only approximation)
+    hits = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
+    assert hits > 0
+    assert all(len(v) <= 10 for v in approx.values())
