@@ -133,6 +133,12 @@ _BODY_PAT_J = "(?s)<body>(.*)</body>"
 _META_PAT_J = '<meta lang="([a-z]+)"'
 
 
+# single-pass body extraction: the OUTER group includes the literal tags, so
+# outer != '' distinguishes "no <body>…</body> match" from "matched with an
+# empty body" in one regex scan (instead of a separate rlike pass)
+_BODY_OUTER_PAT_J = "(?s)(<body>(.*)</body>)"
+
+
 def parse_events_native(pages: DataFrame) -> DataFrame:
     if "host" not in pages.columns:
         pages = with_host(pages)
@@ -145,11 +151,11 @@ def parse_events_native(pages: DataFrame) -> DataFrame:
         s.alias("s"),
     ).withColumns(
         {
-            "ok": F.col("s").rlike(_BODY_PAT_J),
-            "body": F.regexp_extract("s", _BODY_PAT_J, 1),
+            "body_outer": F.regexp_extract("s", _BODY_OUTER_PAT_J, 1),
+            "body": F.regexp_extract("s", _BODY_OUTER_PAT_J, 2),
             "meta_lang_raw": F.regexp_extract("s", _META_PAT_J, 1),
         }
-    )
+    ).withColumn("ok", F.col("body_outer") != "")
     exploded = base.select(
         "url",
         "warc_ts",
@@ -169,6 +175,13 @@ def parse_events_native(pages: DataFrame) -> DataFrame:
     no_events = F.col("ok") & F.col("seg").isNull()
     seq = F.coalesce(F.col("pos"), F.lit(0)).cast("int")
     text_b = F.encode(F.regexp_replace("body", _EVENT_PAT_J, ""), "ISO-8859-1")
+    # seg layout is fixed ('§EVT|type|payload§'), so cheap substring ops
+    # replace two more regex scans: type = 2nd '|' field, payload = the rest
+    # minus the trailing 2-byte marker
+    seg_parts = F.split(F.col("seg"), "\\|", 3)
+    seg_type = F.element_at(seg_parts, 2)
+    seg_tail = F.element_at(seg_parts, 3)
+    seg_payload = seg_tail.substr(F.lit(1), F.length(seg_tail) - F.lit(2))
     return exploded.select(
         "url",
         "warc_ts",
@@ -177,11 +190,9 @@ def parse_events_native(pages: DataFrame) -> DataFrame:
         seq.alias("seq"),
         F.when(is_err, F.lit("parse_error"))
         .when(no_events, F.lit("none"))
-        .otherwise(F.regexp_extract("seg", _EVENT_PAT_J, 1))
+        .otherwise(seg_type)
         .alias("event_type"),
-        F.when(~is_err & ~no_events, F.regexp_extract("seg", _EVENT_PAT_J, 2)).alias(
-            "payload"
-        ),
+        F.when(~is_err & ~no_events, seg_payload).alias("payload"),
         F.when(~is_err & (F.col("meta_lang_raw") != ""), F.col("meta_lang_raw")).alias(
             "meta_lang"
         ),

@@ -610,6 +610,55 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_curation",
+    """WITH dedup AS (
+         SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+       ),
+       kept AS (
+         SELECT d.doc_id, d.lang,
+                len(string_split(d.text, ' ')) AS n_tokens,
+                CAST(len(list_filter(string_split(d.text, ' '),
+                     x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                  / len(string_split(d.text, ' ')) AS stop_ratio
+         FROM documents d JOIN dedup USING (doc_id)
+       )
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       FROM kept
+       WHERE n_tokens >= 10 AND stop_ratio <= 0.3
+       GROUP BY lang""",
+)
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation: exact-dedup (keep min doc_id) →
+    quality gate (length + stopword ratio) → per-language token budget.
+    The composition a 100 TB corpus pipeline runs nightly; every stage is
+    native (one shuffle for dedup, one for the final rollup)."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = (
+        docs.withColumn("fp", F.md5(F.col("text").cast("binary")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = F.split(F.col("text"), " ")
+    stops = F.filter(toks, lambda x: (x == "the") | (x == "a"))
+    kept = docs.join(keep, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (F.size(stops).cast("double") / F.size(toks)).alias("stop_ratio"),
+    )
+    return (
+        kept.where((F.col("n_tokens") >= 10) & (F.col("stop_ratio") <= 0.3))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
 @query("ann_ivf_topk")
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN (coarse quantize → probe nprobe inverted lists →
