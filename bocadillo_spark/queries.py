@@ -472,6 +472,42 @@ def q_top_parts(spark, sf_dir):
     )
 
 
+@query(
+    "orders_by_month",
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders GROUP BY 1""",
+)
+def q_orders_by_month(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "part_size_quantiles",
+    """SELECT p_brand,
+              CAST(quantile_cont(p_size, 0.25) AS DOUBLE) AS q25,
+              CAST(quantile_cont(p_size, 0.5) AS DOUBLE) AS q50,
+              CAST(quantile_cont(p_size, 0.75) AS DOUBLE) AS q75
+       FROM part GROUP BY p_brand""",
+)
+def q_part_size_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` and DuckDB
+    `quantile_cont` share the (n-1)*q linear-interpolation definition)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.expr("percentile(p_size, 0.25)").alias("q25"),
+        F.expr("percentile(p_size, 0.5)").alias("q50"),
+        F.expr("percentile(p_size, 0.75)").alias("q75"),
+    )
+
+
 @query("approx_vs_exact_distinct")
 def q_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HLL++) next to the exact count — rows-only
