@@ -76,9 +76,12 @@ def timed_pipeline_at(cores: int, pages_path: str, runs: int = 3, warmups: int =
     return times[len(times) // 2]
 
 
-def scaling_pairs(pages_path: str, small: int = 1, big: int = 4, pairs: int = 2) -> dict:
+def scaling_pairs(pages_path: str, small: int = 1, big: int = 4, pairs: int = 3) -> dict:
     """Interleaved small/big pairs; per-pair efficiency = (t_small/t_big)/(big/small).
-    Interleaving + median-of-ratios defends against the VM's capacity drift."""
+    Interleaving + median-of-ratios defends against the VM's capacity drift;
+    the reported efficiency is clamped to 1.0 (a throttle dip during the
+    small run can make a raw pair super-linear, which is measurement
+    artifact, not speedup)."""
     effs, small_ts, big_ts = [], [], []
     for _ in range(pairs):
         t_s = timed_pipeline_at(small, pages_path, runs=1, warmups=1)
@@ -93,7 +96,7 @@ def scaling_pairs(pages_path: str, small: int = 1, big: int = 4, pairs: int = 2)
         "small_sec": small_ts,
         "big_sec": big_ts,
         "efficiency_per_pair": [round(e, 3) for e in effs],
-        "efficiency": round(effs[len(effs) // 2], 3),
+        "efficiency": round(min(1.0, effs[len(effs) // 2]), 3),
     }
 
 
