@@ -354,6 +354,67 @@ def q_events_windowed_counts(spark, sf_dir):
 
 
 @query(
+    "latest_page_version",
+    f"""WITH {pages_cte_sql()},
+    versioned AS (
+      SELECT url, warc_ts, doc_id FROM pages
+      UNION ALL
+      SELECT url, warc_ts + INTERVAL 1000 SECOND, doc_id + 1000000
+      FROM pages WHERE doc_id % 7 = 3
+    )
+    SELECT url, CAST(doc_id AS BIGINT) AS doc_id,
+           strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY url ORDER BY warc_ts DESC, doc_id DESC) AS rn
+      FROM versioned
+    ) WHERE rn = 1""",
+)
+def q_latest_page_version(spark, sf_dir):
+    """Latest-version-wins over re-crawled urls (FIXTURES §1 duplicate-url
+    fixture, planted here: every 7th page gets a later re-crawl) — the
+    arrival-order 'latest TABLE_MAP wins' analog as a window dedup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    # url/warc_ts rules mirror synth.url_of / synth.warc_ts_of, natively
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            F.format_string(
+                "%03d",
+                F.when(F.col("doc_id") % 5 < 2, 0)
+                .when(F.col("doc_id") % 5 == 2, 1)
+                .otherwise((F.col("doc_id") % 97) + 2)
+                .cast("int"),
+            ),
+            F.lit(".example.com/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.expr("timestampadd(SECOND, doc_id, TIMESTAMP '2024-01-01 00:00:00')").alias(
+            "warc_ts"
+        ),
+    )
+    recrawl = pages.where(F.col("doc_id") % 7 == 3).select(
+        "url",
+        F.expr("timestampadd(SECOND, 1000, warc_ts)").alias("warc_ts"),
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+    )
+    versioned = pages.select("url", "warc_ts", "doc_id").unionByName(recrawl)
+    w = W.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc("doc_id"))
+    return (
+        versioned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "url",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+        )
+    )
+
+
+@query(
     "semi_join_active_customers",
     """SELECT c_custkey, c_mktsegment FROM customer c
        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",

@@ -84,3 +84,21 @@ def test_streaming_resume_no_loss_no_dup(spark, sf_dir):
 
         got = _counts_dict(read_sink_counts(spark, out))
         assert got == _expected_counts(spark, sf_dir)
+
+
+def test_fanout_replay_is_idempotent(spark, sf_dir):
+    """Re-running a batch (task retry / post-crash replay) must not change
+    what readers see — the exactly-once safepoint guarantee (T2)."""
+    import tempfile
+
+    routed = route(
+        parse_events(with_host(synth_pages(spark, sf_dir))), build_routing_dim(spark)
+    )
+    with tempfile.TemporaryDirectory() as out:
+        m1 = write_fanout(routed, out, batch_id=7)
+        got1 = _counts_dict(read_sink_counts(spark, out))
+        m2 = write_fanout(routed, out, batch_id=7)  # replay same batch
+        got2 = _counts_dict(read_sink_counts(spark, out))
+        assert got1 == got2 == _expected_counts(spark, sf_dir)
+        assert m1["sink_counts"] == m2["sink_counts"]
+        assert len(read_manifests(out)) == 1  # manifest overwritten, not duplicated
