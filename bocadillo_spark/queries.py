@@ -235,6 +235,30 @@ def q_revenue_by_nation(spark, sf_dir):
 
 
 @query(
+    "large_join_revenue_by_status",
+    """SELECT o.o_orderstatus,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         CAST(count(*) AS BIGINT) AS n
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY o.o_orderstatus""",
+)
+def q_large_join(spark, sf_dir):
+    """Large×large equi-join forced to sort-merge (the shape Catalyst picks
+    when neither side broadcasts at 100 TB; bucketing both sides on
+    orderkey removes even this shuffle — tests/test_bucketing.py)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
     "top_users_by_value",
     """SELECT CAST(user_id AS BIGINT) AS user_id,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
