@@ -64,11 +64,20 @@ def _minhash_bands(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": ids, "band_key": keys})
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
-    """(doc_id_a < doc_id_b) candidate pairs sharing ≥1 LSH band."""
+def minhash_candidates(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_id_a < doc_id_b) candidate pairs sharing ≥1 LSH band.
+
+    Buckets larger than `max_bucket` are dropped (not silently: they come
+    back via `oversized_buckets`) — one degenerate bucket (empty text,
+    boilerplate) turns the band join quadratic at 100 TB. Exact duplicates
+    are the usual cause and belong to `exact_dedup`, which callers run
+    first (cheaper: one shuffle, no pair blowup)."""
     bands = docs.select("doc_id", "text").mapInPandas(_minhash_bands, SIG_SCHEMA)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))
+    ok_keys = sizes.where(F.col("bn") <= max_bucket).select("band_key")
+    pruned = bands.join(ok_keys, "band_key")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     pairs = (
         a.join(b, on="band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -78,6 +87,16 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+def oversized_buckets(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """The buckets minhash_candidates dropped — no silent coverage caps."""
+    bands = docs.select("doc_id", "text").mapInPandas(_minhash_bands, SIG_SCHEMA)
+    return (
+        bands.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") > max_bucket)
+    )
 
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:

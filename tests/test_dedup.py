@@ -80,3 +80,27 @@ def test_simhash_near_dups(spark, sf_dir):
     # at least some planted pairs surface (perturbation is tiny)
     planted_hits = [p for p in got if p[1] - p[0] == NEAR_DUP_STRIDE]
     assert len(planted_hits) > 0
+
+
+def test_minhash_bucket_cap_guards_degenerate_buckets(spark):
+    """60 identical docs would make every band bucket quadratic; the cap
+    drops them (reported via oversized_buckets) while exact_dedup — which
+    callers run first — still catches them."""
+    from bocadillo_spark.operators.dedup import minhash_candidates, oversized_buckets
+
+    rows = [(i, "same boilerplate text repeated everywhere again and again") for i in range(60)]
+    rows += [(100, "a genuinely unique document about something else entirely"),
+             (101, "a genuinely unique document about something else entirely plus change")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_candidates(docs, max_bucket=50).collect()
+    ids = {r["doc_id_a"] for r in pairs} | {r["doc_id_b"] for r in pairs}
+    assert not any(i < 60 for i in ids)  # degenerate bucket dropped
+    assert (100, 101) in {(r["doc_id_a"], r["doc_id_b"]) for r in pairs}  # real near-dup kept
+
+    dropped = oversized_buckets(docs, max_bucket=50).collect()
+    assert len(dropped) > 0 and all(r["bn"] == 60 for r in dropped)
+
+    # exact_dedup catches what the cap dropped
+    fp = {r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert 60 in fp

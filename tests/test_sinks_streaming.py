@@ -102,3 +102,46 @@ def test_fanout_replay_is_idempotent(spark, sf_dir):
         assert got1 == got2 == _expected_counts(spark, sf_dir)
         assert m1["sink_counts"] == m2["sink_counts"]
         assert len(read_manifests(out)) == 1  # manifest overwritten, not duplicated
+
+
+def test_streaming_picks_up_late_arriving_files(spark, sf_dir):
+    """Rotate analog (T3): files that appear AFTER the stream starts are
+    discovered and processed; final counts equal the batch pipeline."""
+    import os
+    import tempfile
+    import time
+
+    with tempfile.TemporaryDirectory() as tmp:
+        staged = f"{tmp}/staged"
+        live = f"{tmp}/live"
+        os.makedirs(live)
+        write_pages(spark, sf_dir, staged, num_partitions=6)
+        parts = sorted(
+            f for f in os.listdir(staged) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        assert len(parts) >= 4
+        # seed with the first half
+        for f in parts[: len(parts) // 2]:
+            os.link(f"{staged}/{f}", f"{live}/{f}")
+
+        from bocadillo_spark.streaming.stream import start_pipeline_stream
+
+        q = start_pipeline_stream(
+            spark, live, f"{tmp}/out", f"{tmp}/ckpt", max_files_per_trigger=1
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and len(read_manifests(f"{tmp}/out")) < 1:
+            time.sleep(0.5)
+        assert len(read_manifests(f"{tmp}/out")) >= 1
+        q.stop()  # availableNow snapshot is done or in flight; stop cleanly
+
+        # the rest of the corpus "rotates in" later
+        for f in parts[len(parts) // 2 :]:
+            os.link(f"{staged}/{f}", f"{live}/{f}")
+        q2 = start_pipeline_stream(
+            spark, live, f"{tmp}/out", f"{tmp}/ckpt", max_files_per_trigger=1
+        )
+        q2.awaitTermination()
+
+        got = _counts_dict(read_sink_counts(spark, f"{tmp}/out"))
+        assert got == _expected_counts(spark, sf_dir)
