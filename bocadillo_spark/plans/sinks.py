@@ -32,21 +32,27 @@ def _spread(routed: DataFrame, n: int = FANOUT_PARTITIONS) -> DataFrame:
 
 
 def write_fanout(routed: DataFrame, out_dir: str, batch_id: int = 0) -> dict:
-    """Write one (micro-)batch fan-out + manifest. Returns the manifest."""
-    data_dir = os.path.join(out_dir, "data", f"batch_id={batch_id}")
-    spread = _spread(routed)
+    """Write one (micro-)batch fan-out + manifest. Returns the manifest.
 
+    The pipeline executes ONCE (the write); lineage and reconciliation
+    counts come from a single cheap read-back pass over the just-written
+    files (url + partition columns only — parquet column pruning makes
+    this a tiny scan). Lineage is file-granular: files are the unit of
+    recovery/commit, the honest analog of the reference's (file, offset)
+    position (/root/reference/binlog/event_rotate.go:7-10)."""
+    data_dir = os.path.join(out_dir, "data", f"batch_id={batch_id}")
+    spark = routed.sparkSession
     (
-        spread.write.mode("overwrite")
+        _spread(routed).write.mode("overwrite")
         .partitionBy("sink_id", "event_type")
         .parquet(data_dir)
     )
 
-    # lineage: re-derive the same spread deterministically for manifest rows
-    lineage = (
-        _spread(routed)
-        .select(F.spark_partition_id().alias("partition_id"), "url", "sink_id")
-        .groupBy("partition_id")
+    written = spark.read.parquet(data_dir).select(
+        F.input_file_name().alias("file"), "url", "sink_id", "event_type"
+    )
+    per_file = (
+        written.groupBy("file", "sink_id", "event_type")
         .agg(
             F.min("url").alias("first_url"),
             F.max("url").alias("last_url"),
@@ -54,14 +60,25 @@ def write_fanout(routed: DataFrame, out_dir: str, batch_id: int = 0) -> dict:
         )
         .collect()
     )
-    counts = (
-        routed.groupBy("sink_id", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
-    )
+    counts: dict[str, int] = {}
+    files = []
+    for r in per_file:
+        key = f"{r['sink_id']}/{r['event_type']}"
+        counts[key] = counts.get(key, 0) + r["n"]
+        files.append(
+            {
+                "file": r["file"].rsplit("/batch_id=", 1)[-1],
+                "sink": key,
+                "first_url": r["first_url"],
+                "last_url": r["last_url"],
+                "n": r["n"],
+            }
+        )
     manifest = {
         "batch_id": batch_id,
-        "partitions": [r.asDict() for r in sorted(lineage, key=lambda r: r["partition_id"])],
-        "sink_counts": {f"{r['sink_id']}/{r['event_type']}": r["n"] for r in counts},
-        "total": int(sum(r["n"] for r in counts)),
+        "files": sorted(files, key=lambda f: f["file"]),
+        "sink_counts": counts,
+        "total": int(sum(counts.values())),
     }
     mdir = os.path.join(out_dir, "_manifests")
     os.makedirs(mdir, exist_ok=True)

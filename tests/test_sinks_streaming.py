@@ -39,9 +39,10 @@ def test_batch_fanout_and_manifest(spark, sf_dir):
         got = _counts_dict(read_sink_counts(spark, out))
         assert got == _expected_counts(spark, sf_dir)
         assert manifest["total"] == sum(got.values())
-        parts = manifest["partitions"]
-        assert sum(p["n"] for p in parts) == manifest["total"]
-        assert all(p["first_url"] <= p["last_url"] for p in parts)
+        files = manifest["files"]
+        assert sum(f["n"] for f in files) == manifest["total"]
+        assert all(f["first_url"] <= f["last_url"] for f in files)
+        assert all(f["sink"] in manifest["sink_counts"] for f in files)
         # written data preserves bytes (binary column round-trip)
         df = spark.read.parquet(f"{out}/data/batch_id=0")
         assert df.filter(F.col("text_bytes").isNotNull()).count() > 0
