@@ -111,9 +111,11 @@ def warc_ts_of(doc_id: int) -> dt.datetime:
     return EPOCH + dt.timedelta(seconds=doc_id)
 
 
-def text_bytes_of(doc_id: int, text: str) -> bytes:
-    """The byte-equality payload. Invalid-UTF8 fixture injects raw bytes."""
-    b = text.encode("utf-8")
+def text_bytes_of(doc_id: int, text: str | None) -> bytes:
+    """The byte-equality payload. Invalid-UTF8 fixture injects raw bytes.
+    NULL text → empty payload (the NULL round-trip analog,
+    /root/reference/tests/type_null_test.go:10-24)."""
+    b = (text or "").encode("utf-8")
     if has_invalid_utf8(doc_id):
         b = b[:10] + INVALID_BYTES + b[10:]
     return b
