@@ -96,6 +96,39 @@ def q_route_counts_salted(spark, sf_dir):
 
 
 @query(
+    "route_counts_streaming",
+    f"""{_PIPE_CTES}
+    SELECT sink_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM routed GROUP BY sink_id, event_type""",
+)
+def q_route_counts_streaming(spark, sf_dir):
+    """The SAME flagship counts, but computed through the checkpointed
+    Structured-Streaming pipeline (micro-batched parse→route→fan-out →
+    read-back) — streaming correctness sits under the exact SQL oracle,
+    not just pytest."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .plans.sinks import read_sink_counts
+    from .streaming.stream import run_stream_to_completion
+    from .synth import write_pages
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"bocadillo_stream_q_{tag}")
+    pages_dir = os.path.join(root, "pages")
+    out_dir = os.path.join(root, "out")
+    ckpt_dir = os.path.join(root, "ckpt")
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        write_pages(spark, sf_dir, pages_dir, num_partitions=6)
+    # resume-or-run: a prior partial run continues from its checkpoint
+    run_stream_to_completion(spark, pages_dir, out_dir, ckpt_dir, max_files_per_trigger=3)
+    return read_sink_counts(spark, out_dir).select(
+        "sink_id", "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
+@query(
     "route_metrics",
     f"""{_PIPE_CTES}
     SELECT route_reason, CAST(count(*) AS BIGINT) AS n,
