@@ -1,0 +1,61 @@
+"""Skew handling, both halves of the story:
+
+- skewed JOINs: AQE splits oversized partitions at runtime (built-in —
+  SURVEY.md §4: AQE covers joins, not groupBy keys);
+- skewed AGGREGATIONS: manual salting (operators/aggregate.py), equality
+  asserted against the unsalted plan via the oracle suite.
+
+This test pins the AQE half with a synthetic 90%-hot-key join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bocadillo_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def skew_spark():
+    s = get_spark(
+        app_name="skew_test",
+        cores=8,
+        shuffle_partitions=8,
+        extra_conf={
+            # make AQE's skew detector fire on a small fixture
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        },
+    )
+    yield s
+    s.stop()
+
+
+def test_aqe_splits_skewed_join(skew_spark):
+    spark = skew_spark
+    n = 200_000
+    # fact: 90% of rows share key 0 (the hot host), payload pads bytes
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000).alias("k"),
+        F.concat(F.lit("p" * 64), F.col("id")).alias("pad"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("d" * 64), F.col("id")).alias("dpad")
+    )
+    # correctness (separate consumer: a groupBy on k pins the join's
+    # partitioning, which blocks the skew split unless forced)
+    agg = fact.join(dim, "k").groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = {r["k"]: r["cnt"] for r in agg.collect()}
+    assert rows[0] == sum(1 for i in range(n) if i % 10 < 9)
+
+    # skew split: a consumer with no partitioning requirement lets AQE
+    # split the hot partition into advisory-sized chunks
+    summed = (
+        fact.join(dim, "k").select(F.length("pad").alias("l")).agg(F.sum("l").alias("s"))
+    )
+    assert summed.collect()[0]["s"] > 0
+    final_plan = summed._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in final_plan, final_plan[:2000]
