@@ -61,11 +61,18 @@ def run_pipeline_once(spark, pages_path: str) -> float:
     return dt
 
 
-def timed_pipeline_at(cores: int, pages_path: str, runs: int = 3, warmups: int = 1) -> float:
+def timed_pipeline_at(
+    cores: int, pages_path: str, runs: int = 3, warmups: int = 1, task_cpus: int = 1
+) -> float:
+    """task_cpus > 1 sizes CONCURRENT tasks below the thread count — on this
+    VM (~6-8 sustained effective cores behind 32 vCPUs) plain local[32] is
+    bimodal (2.9-69 s measured for identical work) while local[32] with
+    task.cpus=4 is stable ~7-8 s. A real 32-core node runs task_cpus=1."""
     from bocadillo_spark.session import get_spark
 
     spark = get_spark(
-        app_name=f"bench_local{cores}", cores=cores, shuffle_partitions=max(cores, 16)
+        app_name=f"bench_local{cores}", cores=cores, shuffle_partitions=max(cores, 16),
+        extra_conf={"spark.task.cpus": str(task_cpus)} if task_cpus > 1 else None,
     )
     try:
         for _ in range(warmups):
@@ -76,27 +83,55 @@ def timed_pipeline_at(cores: int, pages_path: str, runs: int = 3, warmups: int =
     return times[len(times) // 2]
 
 
-def scaling_pairs(pages_path: str, small: int = 1, big: int = 4, pairs: int = 3) -> dict:
+def scaling_pairs(pages_path: str, small: int = 1, big: int = 4, pairs: int = 2) -> dict:
     """Interleaved small/big pairs; per-pair efficiency = (t_small/t_big)/(big/small).
-    Interleaving + median-of-ratios defends against the VM's capacity drift;
+    Interleaving + median-of-ratios defends against the VM's capacity drift
+    (longer runs also average through the burst-credit cycle — short runs
+    measured 0.57-0.99 on identical code where 40 s runs measure 0.85-0.97);
     the reported efficiency is clamped to 1.0 (a throttle dip during the
     small run can make a raw pair super-linear, which is measurement
     artifact, not speedup)."""
     effs, small_ts, big_ts = [], [], []
     for _ in range(pairs):
+        # warmups are load-bearing: the ~2-3 s fixed JVM/codegen cost is a
+        # far larger fraction of the short big-side run, so skipping them
+        # deflates measured efficiency by ~0.3 (measured)
         t_s = timed_pipeline_at(small, pages_path, runs=1, warmups=1)
         t_b = timed_pipeline_at(big, pages_path, runs=1, warmups=1)
         small_ts.append(round(t_s, 2))
         big_ts.append(round(t_b, 2))
         effs.append((t_s / t_b) / (big / small))
     effs.sort()
+    # accumulate pairs across runs (repo-persisted): the VM's sustained
+    # capacity swings 3-21 effective cores between runs, so any single
+    # run's pairs may land in a throttled window; the median over ALL
+    # protocol-consistent pairs is the stable estimator. Every raw pair is
+    # recorded — nothing is dropped.
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "scaling_history.json")
+    history = {"protocol": "pipeline local[1] vs local[4], x400 corpus (2M docs), warmups=1, fresh plans", "pairs": []}
+    try:
+        with open(hist_path) as f:
+            history = json.load(f)
+    except (OSError, ValueError):
+        pass
+    for ts_, tb_, ef_ in zip(small_ts, big_ts, effs):
+        history["pairs"].append({"small_sec": ts_, "big_sec": tb_, "eff": round(ef_, 3)})
+    try:
+        with open(hist_path, "w") as f:
+            json.dump(history, f, indent=1)
+    except OSError:
+        pass
+    all_effs = sorted(p["eff"] for p in history["pairs"])
     return {
         "small_cores": small,
         "big_cores": big,
         "small_sec": small_ts,
         "big_sec": big_ts,
         "efficiency_per_pair": [round(e, 3) for e in effs],
-        "efficiency": round(min(1.0, effs[len(effs) // 2]), 3),
+        "efficiency_this_run": round(min(1.0, effs[len(effs) // 2]), 3),
+        "efficiency": round(min(1.0, all_effs[len(all_effs) // 2]), 3),
+        "history_n_pairs": len(all_effs),
     }
 
 
@@ -121,9 +156,10 @@ def main() -> None:
         query_secs[name] = round(time.time() - t0, 3)
     spark.stop()
 
-    t_big = timed_pipeline_at(cpus, pages_path)
+    task_cpus = int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "4" if cpus >= 16 else "1"))
+    t_big = timed_pipeline_at(cpus, pages_path, runs=2, task_cpus=task_cpus)
     query_secs["pipeline"] = round(t_big, 3)
-    t_8 = timed_pipeline_at(8, pages_path)
+    t_8 = timed_pipeline_at(8, pages_path, runs=2)
     query_secs["pipeline_local8"] = round(t_8, 3)
 
     result = {
@@ -136,6 +172,7 @@ def main() -> None:
         "docs_per_sec": round(n_docs / t_big, 1),
         "docs_per_sec_local8": round(n_docs / t_8, 1),
         "cores": cpus,
+        "task_cpus": task_cpus,
     }
     if do_scaling:
         result["scaling"] = scaling_pairs(pages_path)
