@@ -5,7 +5,10 @@
 - skewed AGGREGATIONS: manual salting (operators/aggregate.py), equality
   asserted against the unsalted plan via the oracle suite.
 
-This test pins the AQE half with a synthetic 90%-hot-key join.
+This test pins the AQE half with a synthetic 90%-hot-key join. It uses the
+shared session with set/restore of runtime SQL confs — building a second
+session in local mode silently reuses (and on teardown would stop) the one
+SparkContext.
 """
 
 from __future__ import annotations
@@ -13,25 +16,26 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from bocadillo_spark.session import get_spark
+SKEW_CONF = {
+    # make AQE's skew detector fire on a small fixture
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+}
 
 
-@pytest.fixture(scope="module")
-def skew_spark():
-    s = get_spark(
-        app_name="skew_test",
-        cores=8,
-        shuffle_partitions=8,
-        extra_conf={
-            # make AQE's skew detector fire on a small fixture
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-            "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
-        },
-    )
-    yield s
-    s.stop()
+@pytest.fixture()
+def skew_spark(spark):
+    saved = {k: spark.conf.get(k, None) for k in SKEW_CONF}
+    for k, v in SKEW_CONF.items():
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 def test_aqe_splits_skewed_join(skew_spark):
@@ -45,6 +49,7 @@ def test_aqe_splits_skewed_join(skew_spark):
     dim = spark.range(1000).select(
         F.col("id").alias("k"), F.concat(F.lit("d" * 64), F.col("id")).alias("dpad")
     )
+
     # correctness (separate consumer: a groupBy on k pins the join's
     # partitioning, which blocks the skew split unless forced)
     agg = fact.join(dim, "k").groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
