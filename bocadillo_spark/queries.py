@@ -680,6 +680,58 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+@query(
+    "ngram_jaccard_planted",
+    """WITH sh AS (
+         SELECT doc_id,
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+             i -> string_split(text,' ')[i] || ' '
+                  || coalesce(string_split(text,' ')[i+1],'') || ' '
+                  || coalesce(string_split(text,' ')[i+2],''))) AS g
+         FROM (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 500000, text || ' zz yy' FROM documents WHERE doc_id % 10 = 0
+         )
+       )
+       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+              round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+       FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 500000""",
+)
+def q_ngram_jaccard_planted(spark, sf_dir):
+    """Exact word-3-gram Jaccard between each doc and its planted variant —
+    entirely native array expressions (no UDF): shingle via transform over
+    a sequence, set ops via array_intersect/array_distinct. The exact-verify
+    building block behind MinHash candidates, under the SQL oracle."""
+    from .operators.dedup import NEAR_DUP_STRIDE, augment_with_near_dups
+
+    docs = augment_with_near_dups(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.concat(
+                F.get(toks, i - 1),
+                F.lit(" "),
+                F.coalesce(F.get(toks, i), F.lit("")),
+                F.lit(" "),
+                F.coalesce(F.get(toks, i + 1), F.lit("")),
+            ),
+        )
+    )
+    sh = docs.select("doc_id", grams.alias("g"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("g").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("g").alias("gb"))
+    pairs = a.join(b, F.col("doc_id_b") == F.col("doc_id_a") + NEAR_DUP_STRIDE)
+    j = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
+        F.array_distinct(F.concat("ga", "gb"))
+    )
+    return pairs.select("doc_id_a", "doc_id_b", F.round(j, 6).alias("jaccard"))
+
+
 @query("dedup_minhash")
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
