@@ -626,6 +626,19 @@ def q_part_size_quantiles(spark, sf_dir):
     )
 
 
+@query(
+    "user_value_quartiles",
+    """SELECT user_id, event_id,
+              ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile
+       FROM events""",
+)
+def q_user_value_quartiles(spark, sf_dir):
+    """ntile windowing (quartile assignment per user, tiebroken)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select("user_id", "event_id", F.ntile(4).over(w).alias("quartile"))
+
+
 @query("approx_vs_exact_distinct")
 def q_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HLL++) next to the exact count — rows-only
