@@ -511,6 +511,52 @@ def q_union_distinct(spark, sf_dir):
 
 
 @query(
+    "clickers_never_purchased",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       EXCEPT
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+def q_except(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract == EXCEPT DISTINCT (exceptAll keeps multiplicity: a user
+    # with 3 clicks and 1 purchase would wrongly survive)
+    return a.subtract(b)
+
+
+@query(
+    "users_clicked_and_purchased",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+def q_intersect(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "props_key_counts",
+    """SELECT k, CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+       GROUP BY k""",
+)
+def q_props_key_counts(spark, sf_dir):
+    """JSON → map → exploded keys (the binary-JSON traversal analog,
+    /root/reference/mysql/json.go:43-473, via from_json + explode)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select(F.explode(F.map_keys(m)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "pivot_user_event_values",
     """SELECT user_id,
          CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_value,
