@@ -57,6 +57,13 @@ def _parsed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §4 explicit-repartition note)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PARSED_CACHE:
+        # bounded cache: unpersist entries from other (session, sf) combos so
+        # a long-lived session never accumulates stale cached plans
+        for old in [k for k in _PARSED_CACHE if k != key]:
+            try:
+                _PARSED_CACHE.pop(old).unpersist()
+            except Exception:
+                pass
         _PARSED_CACHE[key] = parse_events(with_host(synth_pages(spark, sf_dir))).cache()
     return _PARSED_CACHE[key]
 
@@ -108,18 +115,32 @@ def q_route_counts_streaming(spark, sf_dir):
     not just pytest."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from .plans.sinks import read_sink_counts
     from .streaming.stream import run_stream_to_completion
     from .synth import write_pages
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # cache key = content fingerprint of the source parquet (path + per-file
+    # size/mtime), so testdata changes can't silently reuse stale pages/state
+    src = os.path.join(sf_dir, "documents.parquet")
+    sig_parts = [sf_dir]
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, f))
+            sig_parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        sig_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    tag = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"bocadillo_stream_q_{tag}")
     pages_dir = os.path.join(root, "pages")
     out_dir = os.path.join(root, "out")
     ckpt_dir = os.path.join(root, "ckpt")
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        # a partial prior write means out/ckpt are untrustworthy too
+        shutil.rmtree(root, ignore_errors=True)
         write_pages(spark, sf_dir, pages_dir, num_partitions=6)
     # resume-or-run: a prior partial run continues from its checkpoint
     run_stream_to_completion(spark, pages_dir, out_dir, ckpt_dir, max_files_per_trigger=3)
@@ -369,11 +390,13 @@ def q_latest_event_per_user(spark, sf_dir):
 def q_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    secs = F.col("ts").cast("timestamp").cast("long")
+    # full-precision gap test (micros) — truncating to whole seconds would
+    # diverge from the oracle's exact INTERVAL comparison for fractional gaps
+    mic = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     flagged = ev.withColumn(
         "is_new",
         F.when(
-            secs - F.lag(secs).over(w) > 1800,
+            mic - F.lag(mic).over(w) > 1_800_000_000,
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
@@ -971,11 +994,18 @@ def q_multires_rollup(spark, sf_dir):
 @query("byte_histogram")
 def q_byte_histogram(spark, sf_dir):
     """Multimodal plumbing demo: opaque-binary feature extraction (16-bucket
-    byte histogram) over the synthesized html column, Arrow-batched."""
+    byte histogram) over the synthesized html column, Arrow-batched.
+    Output is exploded to scalar (url, bucket, n) rows — the histogram
+    array itself is not driver-sortable (list cells can't be canonicalized
+    by the harness). Rows-only: the html byte stream includes invalid-UTF8
+    fixtures DuckDB strings can't carry; pytest checks the kernel."""
     from .operators.multimodal import byte_histogram
 
     pages = synth_pages(spark, sf_dir)
-    return byte_histogram(pages, "html")
+    h = byte_histogram(pages, "html")
+    return h.select(
+        "url", F.posexplode("hist").alias("bucket", "n")
+    ).select("url", F.col("bucket").cast("int").alias("bucket"), F.col("n").cast("long").alias("n"))
 
 
 @query(
