@@ -87,14 +87,33 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def rolling_fingerprint(data: bytes, base: int = 1_000_003) -> int:
-    """Polynomial rolling hash of raw bytes mod 2^61-1 — the document
-    fingerprint. numpy O(n) with precomputed powers."""
-    if not data:
+MERSENNE31 = (1 << 31) - 1
+FP_BASE = 1_000_003
+_FP_CHUNK = 1024
+# base^0 .. base^(CHUNK-1) mod p, exact (computed in Python ints)
+_FP_POWERS = np.array(
+    [pow(FP_BASE, k, MERSENNE31) for k in range(_FP_CHUNK)], dtype=np.uint64
+)
+
+
+def rolling_fingerprint(text: str, base: int = FP_BASE, p: int = MERSENNE31) -> int:
+    """Polynomial rolling hash over Unicode codepoints mod 2^31-1 — the
+    document fingerprint. Vectorized: codepoints via one utf-32 reinterpret,
+    chunked Horner with precomputed powers. Exact: codepoints < 2^21 and
+    powers < 2^31 keep every product < 2^52 and each chunk dot-sum < 2^62,
+    inside uint64. p = 2^31-1 (not 2^61-1) so the NATIVE Spark twin
+    (operators/textops.doc_fingerprints) stays overflow-free in LongType
+    under ANSI mode — acc*base + v < 2^51. Kernel, Spark expression, and
+    the DuckDB list_reduce oracle agree digit for digit."""
+    if not text:
         return 0
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     h = 0
-    for v in data:
-        h = (h * base + v) % MERSENNE61
+    for start in range(0, len(cps), _FP_CHUNK):
+        c = cps[start : start + _FP_CHUNK]
+        m = len(c)
+        contrib = int(np.dot(c, _FP_POWERS[:m][::-1])) % p
+        h = (h * pow(base, m, p) + contrib) % p
     return h
 
 

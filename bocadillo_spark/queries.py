@@ -842,20 +842,28 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_near_dup_pairs(simhash_signatures(docs), max_hamming=6)
 
 
-@query("doc_fingerprint")
+from .operators.textops import fingerprint_oracle_sql, langid_oracle_sql  # noqa: E402
+
+
+@query("doc_fingerprint", fingerprint_oracle_sql())
 def q_doc_fingerprint(spark, sf_dir):
-    """Rolling polynomial hash (mod 2^61-1) per document."""
+    """Rolling polynomial hash (codepoints, mod 2^31-1) per document —
+    fully native fold, exact under the DuckDB list_reduce oracle."""
     from .operators.textops import doc_fingerprints
 
     return doc_fingerprints(_t(spark, sf_dir, "documents"))
 
 
-@query("lang_id")
+@query("lang_id", langid_oracle_sql())
 def q_lang_id(spark, sf_dir):
-    """Stopword-profile language-ID heuristic."""
+    """Stopword-profile language-ID heuristic — native token filter +
+    profile-membership counts + CASE argmax; oracle generated from the
+    same LANG_PROFILES constants."""
     from .operators.textops import lang_id
 
-    return lang_id(_t(spark, sf_dir, "documents"))
+    return lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang", F.round("score", 6).alias("score")
+    )
 
 
 @query(
@@ -1090,11 +1098,18 @@ def q_asof_join(spark, sf_dir):
     )
 
 
-@query("grouped_zscore")
+@query(
+    "grouped_zscore",
+    """SELECT user_id, event_id, value,
+         round(CASE WHEN stddev_pop(value) OVER w > 0
+               THEN (value - avg(value) OVER w) / stddev_pop(value) OVER w
+               ELSE 0.0 END, 6) + 0.0 AS zscore
+       FROM events WINDOW w AS (PARTITION BY user_id)""",
+)
 def q_grouped_zscore(spark, sf_dir):
     """Grouped-map applyInPandas (UDAF/grouped surface): per-user z-score of
-    event values. Rows-only: float std formulas differ across engines;
-    pytest checks against a numpy oracle."""
+    event values. Under the exact oracle via fixed 6dp quantization and
+    -0.0 normalization (DuckDB stddev_pop window twin)."""
     from .operators.textops import zscore_per_user
 
     return zscore_per_user(_t(spark, sf_dir, "events"))

@@ -22,7 +22,14 @@ def test_minhash_kernel_determinism():
     assert (s1 == s2).all()
     assert H.band_keys(s1) == H.band_keys(s2)
     assert H.simhash64(t) == H.simhash64(t)
-    assert H.rolling_fingerprint(t.encode()) == H.rolling_fingerprint(t.encode())
+    assert H.rolling_fingerprint(t) == H.rolling_fingerprint(t)
+    # chunked-Horner path must equal the scalar recurrence
+    long_t = t * 200  # > _FP_CHUNK codepoints
+    h = 0
+    for c in long_t:
+        h = (h * H.FP_BASE + ord(c)) % H.MERSENNE31
+    assert H.rolling_fingerprint(long_t) == h
+    assert H.rolling_fingerprint("") == 0
 
 
 def test_jaccard_kernel():

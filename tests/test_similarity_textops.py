@@ -75,7 +75,7 @@ def test_fingerprint_matches_kernel(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
     got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprints(docs).collect()}
     for r in docs.collect():
-        assert got[r["doc_id"]] == H.rolling_fingerprint(r["text"].encode("utf-8"))
+        assert got[r["doc_id"]] == H.rolling_fingerprint(r["text"])
 
 
 def test_byte_histogram_matches_numpy(spark, sf_dir):
@@ -129,7 +129,7 @@ def test_grouped_zscore_matches_numpy(spark, sf_dir):
         mu, sd = vals.mean(), vals.std()
         for eid, v in evs:
             want = (v - mu) / sd if sd > 0 else 0.0
-            assert abs(got[eid] - round(want, 9)) < 1e-8, (user, eid)
+            assert abs(got[eid] - round(want, 6)) < 1e-9, (user, eid)
 
 
 def test_ivf_topk_recall_vs_brute(spark, sf_dir):
