@@ -33,19 +33,30 @@ def stable_hash64(token: str) -> int:
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:
-    toks = text.split()
+    """Word k-shingles, single-space tokenization, exact mirror of the
+    native operators/dedup.word_3gram_col construction: short texts pad
+    with empty-string tokens (so a 2-token text yields one 't0 t1 '
+    shingle, identical to the Spark expression)."""
+    toks = text.split(" ")
     if len(toks) < k:
-        return [" ".join(toks)] if toks else []
+        return [" ".join((toks + [""] * k)[:k])]
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
-    """N_PERM-wide minhash over word k-shingles (uint64)."""
+    """N_PERM-wide minhash over word k-shingles (uint64). REFERENCE KERNEL
+    for pytest only — the Spark path (operators/dedup.minhash_bands) is a
+    fully-native expression using xxhash64 and mod 2^31-1, and produces
+    different (equally valid) signatures.
+
+    Note: the a*x multiply below wraps mod 2^64 (numpy uint64) BEFORE the
+    Mersenne-prime reduction — wrap-then-mod, not the textbook universal
+    hash family. Deterministic and self-consistent, which is all the
+    pytest oracle needs."""
     sh = word_shingles(text, k)
     if not sh:
         return np.full(N_PERM, MERSENNE61, dtype=np.uint64)
     hv = np.fromiter((stable_hash64(s) for s in sh), dtype=np.uint64, count=len(sh))
-    # (a*x + b) mod p, vectorized over (perm, shingle)
     prods = (_A[:, None] * (hv[None, :] % MERSENNE61) + _B[:, None]) % MERSENNE61
     return prods.min(axis=1)
 

@@ -3,30 +3,45 @@
 Scale shapes (the part that matters at 100 TB):
 - exact: one hash-groupBy on a fingerprint column — single shuffle of
   (fp, doc_id), map-side combined.
-- minhash-LSH: docs → signature (Arrow-batched UDF) → explode to
-  (band_key, doc_id) → self-join on band_key → candidate pairs →
-  verify exact Jaccard only on candidates. The band join is the classic
+- minhash-LSH: docs → signature (FULLY NATIVE: shingle transform →
+  xxhash64 → per-permutation (a*h+b) mod p min, all whole-stage codegen;
+  no Python worker anywhere) → explode to (band_key, doc_id) → self-join
+  on band_key → candidate pairs → verify exact Jaccard (native array
+  set-ops) only on candidates. The band join is the classic
   shuffle-on-bucket plan: no all-pairs blowup; hot buckets are bounded by
   a per-bucket cap.
 - simhash: signature + band-exact match on 4 x 16-bit chunks (any equal
   chunk → candidate, Hamming-verify) — same bucket-join shape.
+
+MinHash arithmetic stays ANSI-safe: p = 2^31-1, a,b < 2^31, shingle hash
+pmod'd into [0,p) → every product < 2^62, exact in LongType. The
+pure-Python kernels in functions/hashing.py remain as documented reference
+implementations for the pytest suite; the Spark path shares no Python.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 
 MAX_BUCKET = 50  # drop degenerate buckets (e.g. empty-text) — logged, not silent
 
-SIG_SCHEMA = "doc_id long, band_key string"
 SIMHASH_SCHEMA = "doc_id long, simhash long"
-VERIFY_SCHEMA = "doc_id_a long, doc_id_b long, jaccard double"
+
+# ---- native MinHash constants (seeded like the hashing.py kernel) ----------
+P31 = (1 << 31) - 1
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+_rs = np.random.RandomState(42)
+_PERM_A = [int(x) for x in _rs.randint(1, P31, size=N_PERM)]
+_PERM_B = [int(x) for x in _rs.randint(0, P31, size=N_PERM)]
 
 
 NEAR_DUP_STRIDE = 500_000
@@ -54,31 +69,105 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_bands(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        ids, keys = [], []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            for k in H.band_keys(H.minhash_signature(text or "")):
-                ids.append(doc_id)
-                keys.append(k)
-        yield pd.DataFrame({"doc_id": ids, "band_key": keys})
+def word_3gram_col(text_col: Column) -> Column:
+    """Distinct word-3-gram shingles as a native array expression (the
+    construction q_ngram_jaccard_planted proves against its exact DuckDB
+    oracle; shared here so the MinHash signature and verify steps use the
+    same definition). Short texts (<3 tokens) pad with empty strings —
+    hashing.word_shingles mirrors this exactly."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.concat(
+                F.get(toks, i - 1),
+                F.lit(" "),
+                F.coalesce(F.get(toks, i), F.lit("")),
+                F.lit(" "),
+                F.coalesce(F.get(toks, i + 1), F.lit("")),
+            ),
+        )
+    )
 
 
-def minhash_candidates(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
-    """(doc_id_a < doc_id_b) candidate pairs sharing ≥1 LSH band.
+def jaccard_col(grams_a: Column, grams_b: Column) -> Column:
+    """Exact Jaccard over two distinct-shingle arrays — native set ops.
+    Denominator ≥ 1 always (word_3gram_col never yields an empty array)."""
+    return F.size(F.array_intersect(grams_a, grams_b)).cast("double") / F.size(
+        F.array_distinct(F.concat(grams_a, grams_b))
+    )
 
-    Buckets larger than `max_bucket` are dropped (not silently: they come
-    back via `oversized_buckets`) — one degenerate bucket (empty text,
-    boilerplate) turns the band join quadratic at 100 TB. Exact duplicates
-    are the usual cause and belong to `exact_dedup`, which callers run
-    first (cheaper: one shuffle, no pair blowup)."""
-    bands = docs.select("doc_id", "text").mapInPandas(_minhash_bands, SIG_SCHEMA)
+
+def minhash_signature_col(text_col: Column) -> Column:
+    """N_PERM-wide MinHash signature as one native expression: shingles →
+    xxhash64 → pmod p → per-permutation min of (a*h+b) mod p. Feed it a
+    MATERIALIZED hash-values column (see minhash_bands) so the shingle
+    hashing isn't re-evaluated once per permutation."""
+    hv = F.transform(
+        word_3gram_col(text_col), lambda g: F.pmod(F.xxhash64(g), F.lit(P31))
+    )
+    return _signature_from_hashes(hv)
+
+
+def _signature_from_hashes(hv: Column) -> Column:
+    """Single-pass fold: one scan over the shingle hashes updates all
+    N_PERM running minimums via zip_with — O(S·N_PERM) work with each
+    shingle hash evaluated exactly once. (A transform-per-permutation
+    formulation re-evaluates the shingle-hash subtree once per permutation
+    after Catalyst collapses projections into the lambda body — measured
+    ~60x slower.)"""
+    perms = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in zip(_PERM_A, _PERM_B)
+        ]
+    )
+    init = F.array_repeat(F.lit(P31).cast("long"), N_PERM)
+    return F.aggregate(
+        hv,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, perms, lambda m, ab: F.least(m, (ab["a"] * h + ab["b"]) % F.lit(P31))
+        ),
+    )
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows — the whole signature pipeline, zero Python.
+
+    Staged as separate projections (hashes, then signature, then band keys)
+    so Catalyst keeps each expensive expression evaluated once per row
+    instead of inlining the shingle hashing into all 64 permutations."""
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            word_3gram_col(F.coalesce(F.col("text"), F.lit(""))),
+            lambda g: F.pmod(F.xxhash64(g), F.lit(P31)),
+        ).alias("hv"),
+    )
+    sigs = hashed.select("doc_id", _signature_from_hashes(F.col("hv")).alias("sig"))
+    band_arr = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.xxhash64(
+                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+                ).cast("string"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_arr).alias("band_key"))
+
+
+def _candidates_from_bands(bands: DataFrame, max_bucket: int) -> DataFrame:
     sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))
     ok_keys = sizes.where(F.col("bn") <= max_bucket).select("band_key")
     pruned = bands.join(ok_keys, "band_key")
     a = pruned.alias("a")
     b = pruned.alias("b")
-    pairs = (
+    return (
         a.join(b, on="band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -86,12 +175,36 @@ def minhash_candidates(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFra
         )
         .distinct()
     )
-    return pairs
 
 
-def oversized_buckets(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+def minhash_candidates(
+    docs: DataFrame | None = None,
+    max_bucket: int = MAX_BUCKET,
+    bands: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id_a < doc_id_b) candidate pairs sharing ≥1 LSH band.
+
+    Buckets larger than `max_bucket` are dropped (not silently: they come
+    back via `oversized_buckets`) — one degenerate bucket (empty text,
+    boilerplate) turns the band join quadratic at 100 TB. Exact duplicates
+    are the usual cause and belong to `exact_dedup`, which callers run
+    first (cheaper: one shuffle, no pair blowup). Callers needing both
+    candidates AND the oversized report should compute `minhash_bands`
+    once and pass it to both via `bands=` — the signature pass is the
+    expensive stage and must not run twice."""
+    if bands is None:
+        bands = minhash_bands(docs)
+    return _candidates_from_bands(bands, max_bucket)
+
+
+def oversized_buckets(
+    docs: DataFrame | None = None,
+    max_bucket: int = MAX_BUCKET,
+    bands: DataFrame | None = None,
+) -> DataFrame:
     """The buckets minhash_candidates dropped — no silent coverage caps."""
-    bands = docs.select("doc_id", "text").mapInPandas(_minhash_bands, SIG_SCHEMA)
+    if bands is None:
+        bands = minhash_bands(docs)
     return (
         bands.groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("bn"))
@@ -101,29 +214,25 @@ def oversized_buckets(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFram
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Candidates verified with exact Jaccard (computed only for candidate
-    pairs — the verify step touches a vanishing fraction of the corpus)."""
-    cands = minhash_candidates(docs)
-    texts = docs.select("doc_id", "text")
+    pairs — the verify step touches a vanishing fraction of the corpus).
+    Verify is the same native array-set-op expression the exact-oracle
+    ngram_jaccard_planted query uses — no UDF anywhere in this plan."""
+    bands = minhash_bands(docs)
+    cands = _candidates_from_bands(bands, MAX_BUCKET)
+    texts = docs.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
     joined = (
-        cands.join(texts.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("text", "text_a"), "doc_id_a")
-        .join(texts.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("text", "text_b"), "doc_id_b")
+        cands.join(
+            texts.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a")),
+            "doc_id_a",
+        ).join(
+            texts.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b")),
+            "doc_id_b",
+        )
     )
-
-    def _verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id_a": pdf["doc_id_a"],
-                    "doc_id_b": pdf["doc_id_b"],
-                    "jaccard": [
-                        H.jaccard(ta or "", tb or "")
-                        for ta, tb in zip(pdf["text_a"], pdf["text_b"])
-                    ],
-                }
-            )
-
-    verified = joined.mapInPandas(_verify, VERIFY_SCHEMA)
-    return verified.where(F.col("jaccard") >= threshold)
+    j = jaccard_col(word_3gram_col(F.col("text_a")), word_3gram_col(F.col("text_b")))
+    return joined.select("doc_id_a", "doc_id_b", j.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def _to_i64(u: int) -> int:

@@ -787,30 +787,19 @@ def q_ngram_jaccard_planted(spark, sf_dir):
     entirely native array expressions (no UDF): shingle via transform over
     a sequence, set ops via array_intersect/array_distinct. The exact-verify
     building block behind MinHash candidates, under the SQL oracle."""
-    from .operators.dedup import NEAR_DUP_STRIDE, augment_with_near_dups
+    from .operators.dedup import (
+        NEAR_DUP_STRIDE,
+        augment_with_near_dups,
+        jaccard_col,
+        word_3gram_col,
+    )
 
     docs = augment_with_near_dups(_t(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-            lambda i: F.concat(
-                F.get(toks, i - 1),
-                F.lit(" "),
-                F.coalesce(F.get(toks, i), F.lit("")),
-                F.lit(" "),
-                F.coalesce(F.get(toks, i + 1), F.lit("")),
-            ),
-        )
-    )
-    sh = docs.select("doc_id", grams.alias("g"))
+    sh = docs.select("doc_id", word_3gram_col(F.col("text")).alias("g"))
     a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("g").alias("ga"))
     b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("g").alias("gb"))
     pairs = a.join(b, F.col("doc_id_b") == F.col("doc_id_a") + NEAR_DUP_STRIDE)
-    j = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
-        F.array_distinct(F.concat("ga", "gb"))
-    )
+    j = jaccard_col(F.col("ga"), F.col("gb"))
     return pairs.select("doc_id_a", "doc_id_b", F.round(j, 6).alias("jaccard"))
 
 

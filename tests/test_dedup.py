@@ -52,9 +52,13 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     docs = augment_with_near_dups(
         spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
     )
+    res = minhash_dedup_pairs(docs, threshold=0.8)
+    # the entire signature→band→join→verify plan must be Python-free
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan and "BatchEvalPython" not in plan
     pairs = {
         (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
-        for r in minhash_dedup_pairs(docs, threshold=0.8).collect()
+        for r in res.collect()
     }
     planted = [
         r["doc_id"]
