@@ -1036,10 +1036,11 @@ def q_media_metadata(spark, sf_dir):
 )
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs over embeddings + planted variants
-    (v*1.01 + 0.001 — same construction in the oracle). All-pairs exact at
-    this scale; the 100 TB path prefilters candidates with the LSH buckets
-    (operators/similarity.py) before the exact verify."""
-    from .operators.similarity import cosine_col
+    (v*1.01 + 0.001 — same construction in the oracle). The composed 100 TB
+    path end-to-end: banded sign-LSH prefilter (bucket join, no all-pairs
+    theta join) → exact cosine verify — still under the all-pairs SQL
+    oracle, i.e. the prefilter must lose nothing at the 0.99 threshold."""
+    from .operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
@@ -1049,11 +1050,8 @@ def q_dedup_embedding(spark, sf_dir):
         F.transform("e", lambda x: x * F.lit(1.01) + F.lit(0.001)).alias("e"),
     )
     aug = emb.unionByName(variants)
-    a = aug.select(F.col("vec_id").alias("vec_id_a"), F.col("e").alias("ea"))
-    b = aug.select(F.col("vec_id").alias("vec_id_b"), F.col("e").alias("eb"))
-    pairs = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
-    scored = pairs.withColumn("cos", cosine_col(F.col("ea"), F.col("eb")))
-    return scored.where(F.col("cos") >= 0.99).select(
+    pairs = embedding_near_dup_pairs(aug, threshold=0.99)
+    return pairs.select(
         "vec_id_a", "vec_id_b", F.round("cos", 6).alias("cos_sim")
     )
 
