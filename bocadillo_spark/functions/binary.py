@@ -198,9 +198,23 @@ def decode_packed_decimal(data: bytes, precision: int, scale: int) -> str:
     return out
 
 
-# ---- F8: bit-packed time decode (mysql/time.go:12-199, subset) -------------
+# ---- F8: bit-packed time decode (mysql/time.go:12-199, full family) --------
+#
+# Formats per the public MySQL binary date/time layout
+# (https://dev.mysql.com/doc/refman/8.0/en/datetime.html). Fractional
+# seconds (fsp 0-6) are stored BIG-endian in 0-3 extra bytes; the v2 packed
+# integers carry a sign-offset so unsigned byte compare equals value compare.
+# Note: the reference's DecodeTime2 switch (mysql/time.go:40-104) has empty
+# `case 1:`/`case 3:`/`case 5:` arms (Go switch does not fall through), so
+# odd fsp decodes to zero there; these kernels implement the spec'd grouping
+# (1-2, 3-4, 5-6) instead of mirroring that bug.
 
 ZERO_DATE = "0000-00-00"
+ZERO_TIME = "00:00:00"
+
+_TIME2_INT_OFFSET = 0x800000
+_TIME2_FULL_OFFSET = 0x800000000000
+_DT2_OFFSET = 0x8000000000
 
 
 def decode_date(value: int) -> str | None:
@@ -212,3 +226,158 @@ def decode_date(value: int) -> str | None:
     if year == 0 and month == 0 and day == 0:
         return None
     return f"{year:04d}-{month:02d}-{day:02d}"
+
+
+def decode_year(value: int) -> int:
+    """1-byte YEAR: stored as year-1900 (mysql/time.go:14-16)."""
+    return value + 1900
+
+
+def decode_time_v1(value: int) -> str:
+    """TIME v1: decimal-packed HHMMSS integer (mysql/time.go:28-37)."""
+    if value == 0:
+        return ZERO_TIME
+    sign = "-" if value < 0 else ""
+    v = abs(value)
+    return f"{sign}{v // 10000:02d}:{(v % 10000) // 100:02d}:{v % 100:02d}"
+
+
+def _frac_usec(data: bytes, pos: int, fsp: int) -> int:
+    """Big-endian fractional-seconds tail → microseconds."""
+    if fsp in (1, 2):
+        return data[pos] * 10000
+    if fsp in (3, 4):
+        return int.from_bytes(data[pos : pos + 2], "big") * 100
+    if fsp in (5, 6):
+        return int.from_bytes(data[pos : pos + 3], "big")
+    return 0
+
+
+def decode_time2(data: bytes, fsp: int = 0) -> tuple[str, int]:
+    """TIME v2: 3-byte sign-offset int part (hour 10 bits @12, minute 6 @6,
+    second 6 @0) + fsp tail; negative values borrow from the int part when
+    the fraction is positive (mysql/time.go:40-104). Returns (canonical
+    string, bytes consumed)."""
+    if not 0 <= fsp <= 6:
+        raise ValueError(f"fsp {fsp} out of range")
+    n = 3 + (fsp + 1) // 2
+    if len(data) < n:
+        raise ValueError("short buffer")
+    if fsp in (5, 6):
+        tmp = int.from_bytes(data[0:6], "big") - _TIME2_FULL_OFFSET
+    else:
+        int_part = int.from_bytes(data[0:3], "big") - _TIME2_INT_OFFSET
+        if fsp in (1, 2):
+            frac = data[3]
+            if int_part < 0 and frac > 0:
+                int_part += 1
+                frac -= 0x100
+            tmp = (int_part << 24) + frac * 10000
+        elif fsp in (3, 4):
+            frac = int.from_bytes(data[3:5], "big")
+            if int_part < 0 and frac > 0:
+                int_part += 1
+                frac -= 0x10000
+            tmp = (int_part << 24) + frac * 100
+        else:  # fsp 0
+            tmp = int_part << 24
+    if tmp == 0:
+        return ZERO_TIME, n
+    sign = ""
+    if tmp < 0:
+        tmp = -tmp
+        sign = "-"
+    hms = tmp >> 24
+    hour = (hms >> 12) % (1 << 10)
+    minute = (hms >> 6) % (1 << 6)
+    second = hms % (1 << 6)
+    sec_part = tmp % (1 << 24)
+    if sec_part:
+        return f"{sign}{hour:02d}:{minute:02d}:{second:02d}.{sec_part:06d}", n
+    return f"{sign}{hour:02d}:{minute:02d}:{second:02d}", n
+
+
+def decode_timestamp_v1(data: bytes) -> int:
+    """TIMESTAMP v1: 4-byte LE epoch seconds (mysql/time.go:107-112)."""
+    return decode_uint_le(data, 4)
+
+
+def decode_timestamp2(data: bytes, fsp: int = 0) -> tuple[int | None, int]:
+    """TIMESTAMP v2: 4-byte BIG-endian epoch seconds + fsp tail
+    (mysql/time.go:115-133). Returns (epoch micros, consumed); zero
+    seconds → None (the zero-timestamp sentinel). Handles the 2038 edge:
+    seconds is unsigned, so values past 2^31 decode fine."""
+    if not 0 <= fsp <= 6:
+        raise ValueError(f"fsp {fsp} out of range")
+    n = 4 + (fsp + 1) // 2
+    if len(data) < n:
+        raise ValueError("short buffer")
+    sec = int.from_bytes(data[0:4], "big")
+    usec = _frac_usec(data, 4, fsp)
+    if sec == 0:
+        return None, n
+    return sec * 1_000_000 + usec, n
+
+
+def decode_datetime_v1(value: int) -> str | None:
+    """DATETIME v1: decimal-packed YYYYMMDDHHMMSS uint64
+    (mysql/time.go:136-149). Zero → None."""
+    if value == 0:
+        return None
+    d = value // 1_000_000
+    t = value % 1_000_000
+    return (
+        f"{d // 10000:04d}-{(d % 10000) // 100:02d}-{d % 100:02d} "
+        f"{t // 10000:02d}:{(t % 10000) // 100:02d}:{t % 100:02d}"
+    )
+
+
+def decode_datetime2(data: bytes, fsp: int = 0) -> tuple[str | None, int]:
+    """DATETIME v2: 5-byte sign-offset packed (year*13+month 17 bits up,
+    day 5 bits, hour/minute/second 17 bits down) + fsp tail
+    (mysql/time.go:152-199). Returns (canonical string, consumed); zero
+    int part → None."""
+    if not 0 <= fsp <= 6:
+        raise ValueError(f"fsp {fsp} out of range")
+    n = 5 + (fsp + 1) // 2
+    if len(data) < n:
+        raise ValueError("short buffer")
+    int_part = int.from_bytes(data[0:5], "big") - _DT2_OFFSET
+    frac = _frac_usec(data, 5, fsp)
+    if int_part == 0:
+        return None, n
+    tmp = abs((int_part << 24) + frac)
+    ymdhms = tmp >> 24
+    ymd = ymdhms >> 17
+    ym = ymd >> 5
+    hms = ymdhms % (1 << 17)
+    day = ymd % (1 << 5)
+    month = ym % 13
+    year = ym // 13
+    second = hms % (1 << 6)
+    minute = (hms >> 6) % (1 << 6)
+    hour = hms >> 12
+    s = f"{year:04d}-{month:02d}-{day:02d} {hour:02d}:{minute:02d}:{second:02d}"
+    if frac:
+        s += f".{frac:06d}"
+    return s, n
+
+
+# ---- F10: server-version string → number (event_format_description.go:109-134)
+
+
+def parse_version_number(v: str) -> int:
+    """'5.7.19-log' → 50719: major*10000 + minor*100 + leading digits of the
+    patch token (the mysql_get_server_version canonicalization)."""
+    tokens = v.split(".")
+    major = int(tokens[0])
+    minor = int(tokens[1]) if len(tokens) > 1 else 0
+    patch = 0
+    if len(tokens) > 2:
+        digits = ""
+        for c in tokens[2]:
+            if not c.isdigit():
+                break
+            digits += c
+        patch = int(digits) if digits else 0
+    return major * 10000 + minor * 100 + patch

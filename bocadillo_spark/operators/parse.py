@@ -236,6 +236,21 @@ def parse_events(pages: DataFrame, engine: str | None = None) -> DataFrame:
     return parse_events_native(pages)
 
 
+def server_version_number_col(v):
+    """F10 analog: '5.7.19-log' → 50719 — the mysql_get_server_version
+    canonicalization (/root/reference/binlog/event_format_description.go:109-134)
+    as a native expression: three regexp_extracts + arithmetic, no UDF.
+    Missing components count as 0 (matches functions/binary.parse_version_number)."""
+
+    def num(c):
+        return F.when(c == "", F.lit(0).cast("long")).otherwise(c.cast("long"))
+
+    major = num(F.regexp_extract(v, r"^(\d+)", 1))
+    minor = num(F.regexp_extract(v, r"^\d+\.(\d+)", 1))
+    patch = num(F.regexp_extract(v, r"^\d+\.\d+\.(\d+)", 1))
+    return major * F.lit(10000) + minor * F.lit(100) + patch
+
+
 def with_attrs(events: DataFrame) -> DataFrame:
     """payload 'k1=..;k2=..' → map<string,string> — native str_to_map,
     JVM-side (the positional-row-to-named-row enrichment analog,

@@ -1006,6 +1006,42 @@ def q_byte_histogram(spark, sf_dir):
 
 
 @query(
+    "server_version_number",
+    """WITH v AS (
+         SELECT CAST(5 + doc_id % 4 AS VARCHAR) || '.' || CAST(doc_id % 10 AS VARCHAR)
+                || '.' || CAST(doc_id % 30 AS VARCHAR) || '-log' AS ver
+         FROM documents)
+       SELECT CAST(CAST(regexp_extract(ver, '^(\\d+)', 1) AS BIGINT) * 10000
+            + CAST(regexp_extract(ver, '^\\d+\\.(\\d+)', 1) AS BIGINT) * 100
+            + CAST(regexp_extract(ver, '^\\d+\\.\\d+\\.(\\d+)', 1) AS BIGINT) AS BIGINT)
+              AS version_number,
+              CAST(count(*) AS BIGINT) AS n
+       FROM v GROUP BY 1""",
+)
+def q_server_version_number(spark, sf_dir):
+    """F10 canonicalization under the exact oracle: synthesize
+    '{major}.{minor}.{patch}-log' version strings deterministically from
+    doc_id, parse them back to numbers natively (regexp + arithmetic), and
+    histogram. Both engines parse the same strings with their own regex."""
+    from .operators.parse import server_version_number_col
+
+    docs = _t(spark, sf_dir, "documents")
+    ver = F.concat(
+        (F.lit(5) + F.col("doc_id") % 4).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 30).cast("string"),
+        F.lit("-log"),
+    )
+    return (
+        docs.select(server_version_number_col(ver).alias("version_number"))
+        .groupBy("version_number")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "media_metadata",
     f"""WITH {pages_cte_sql()}
     SELECT url, 'text/html' AS media_type, NOT empty_html AS is_valid

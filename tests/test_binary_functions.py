@@ -124,3 +124,111 @@ def test_zero_date_sentinel():
     assert B.decode_date(0) is None
     # 2024-01-15: year<<9 | month<<5 | day
     assert B.decode_date((2024 << 9) | (1 << 5) | 15) == "2024-01-15"
+
+
+# ---- F8 full family: encoders live here (inverse transforms; the reference
+# ships captured bytes, we synthesize) -- mysql/time.go:12-199 edge cases.
+
+
+def _enc_time2(hour, minute, sec, usec, fsp, neg=False):
+    """Inverse of decode_time2. The stored frac field is in units of
+    10^(6-2*ceil(fsp/2)) microseconds; negatives borrow one from the int
+    part when the frac is nonzero (mirrors the decode's un-borrow)."""
+    hms = (hour << 12) | (minute << 6) | sec
+    if fsp in (5, 6):
+        tmp = (hms << 24) + usec
+        return ((-tmp if neg else tmp) + B._TIME2_FULL_OFFSET).to_bytes(6, "big")
+    unit, width, wrap = (10000, 1, 0x100) if fsp in (1, 2) else (100, 2, 0x10000)
+    frac = usec // unit
+    if fsp == 0:
+        ip = -hms if neg else hms
+        return (ip + B._TIME2_INT_OFFSET).to_bytes(3, "big")
+    if neg and frac > 0:
+        ip, f0 = -hms - 1, wrap - frac
+    else:
+        ip, f0 = (-hms if neg else hms), frac
+    return (ip + B._TIME2_INT_OFFSET).to_bytes(3, "big") + f0.to_bytes(width, "big")
+
+
+def test_time2_golden():
+    assert B.decode_time2(_enc_time2(13, 22, 33, 0, 0), 0) == ("13:22:33", 3)
+    assert B.decode_time2(B._TIME2_INT_OFFSET.to_bytes(3, "big"), 0) == ("00:00:00", 3)
+    assert B.decode_time2(_enc_time2(0, 0, 1, 500000, 2, neg=True), 2) == ("-00:00:01.500000", 4)
+    assert B.decode_time2(_enc_time2(1, 2, 3, 123400, 4), 4) == ("01:02:03.123400", 5)
+    # max TIME range with full microseconds
+    assert B.decode_time2(_enc_time2(838, 59, 59, 999999, 6), 6) == ("838:59:59.999999", 6)
+    assert B.decode_time2(_enc_time2(838, 59, 59, 999999, 6, neg=True), 6) == (
+        "-838:59:59.999999",
+        6,
+    )
+    with pytest.raises(ValueError):
+        B.decode_time2(b"\x80\x00", 0)  # short buffer
+    with pytest.raises(ValueError):
+        B.decode_time2(b"\x80\x00\x00", 7)  # fsp out of range
+
+
+def test_timestamp2_golden():
+    def enc(sec, frac_bytes=b""):
+        return sec.to_bytes(4, "big") + frac_bytes
+
+    assert B.decode_timestamp2(enc(0), 0) == (None, 4)  # zero sentinel
+    assert B.decode_timestamp2(enc(1704067200), 0) == (1704067200_000000, 4)
+    # fsp 3: 2 BE bytes, units of 100us
+    assert B.decode_timestamp2(enc(1704067200, (1234).to_bytes(2, "big")), 3) == (
+        1704067200_123400,
+        6,
+    )
+    # 2038 epoch edge: unsigned seconds past 2^31 decode fine
+    post2038 = 2**31 + 10
+    assert B.decode_timestamp2(enc(post2038, (999999).to_bytes(3, "big")), 6) == (
+        post2038 * 1_000_000 + 999999,
+        7,
+    )
+
+
+def test_datetime2_golden():
+    def enc(year, month, day, hour, minute, sec, usec, fsp):
+        ym = year * 13 + month
+        ymd = (ym << 5) | day
+        hms = (hour << 12) | (minute << 6) | sec
+        ip = (ymd << 17) | hms
+        out = (ip + B._DT2_OFFSET).to_bytes(5, "big")
+        if fsp in (1, 2):
+            out += bytes([usec // 10000])
+        elif fsp in (3, 4):
+            out += (usec // 100).to_bytes(2, "big")
+        elif fsp in (5, 6):
+            out += usec.to_bytes(3, "big")
+        return out
+
+    assert B.decode_datetime2(enc(2024, 1, 1, 0, 0, 0, 0, 0), 0) == ("2024-01-01 00:00:00", 5)
+    assert B.decode_datetime2(B._DT2_OFFSET.to_bytes(5, "big"), 0) == (None, 5)  # zero
+    assert B.decode_datetime2(enc(1999, 12, 31, 23, 59, 59, 1, 6), 6) == (
+        "1999-12-31 23:59:59.000001",
+        8,
+    )
+    assert B.decode_datetime2(enc(2038, 1, 19, 3, 14, 8, 500000, 3), 3) == (
+        "2038-01-19 03:14:08.500000",
+        7,
+    )
+
+
+def test_time_datetime_v1_and_year():
+    assert B.decode_time_v1(0) == "00:00:00"
+    assert B.decode_time_v1(8385959) == "838:59:59"
+    assert B.decode_time_v1(-10203) == "-01:02:03"
+    assert B.decode_datetime_v1(0) is None
+    assert B.decode_datetime_v1(20240102030405) == "2024-01-02 03:04:05"
+    assert B.decode_timestamp_v1(B.encode_uint_le(1704067200, 4)) == 1704067200
+    assert B.decode_year(0) == 1900
+    assert B.decode_year(124) == 2024
+    assert B.decode_year(255) == 2155
+
+
+def test_parse_version_number():
+    # mysql_get_server_version canonicalization (event_format_description.go:109-134)
+    assert B.parse_version_number("5.7.19-log") == 50719
+    assert B.parse_version_number("8.0.33") == 80033
+    assert B.parse_version_number("10.11.2-MariaDB") == 101102
+    assert B.parse_version_number("5.7.x") == 50700
+    assert B.parse_version_number("9.0.0") == 90000
