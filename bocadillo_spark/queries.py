@@ -122,10 +122,13 @@ def q_route_counts_streaming(spark, sf_dir):
     from .streaming.stream import run_stream_to_completion
     from .synth import write_pages
 
+    from .synth import SYNTH_VERSION
+
     # cache key = content fingerprint of the source parquet (path + per-file
-    # size/mtime), so testdata changes can't silently reuse stale pages/state
+    # size/mtime) + synth grammar version, so neither testdata changes nor
+    # grammar changes can silently reuse stale pages/state
     src = os.path.join(sf_dir, "documents.parquet")
-    sig_parts = [sf_dir]
+    sig_parts = [sf_dir, f"synth_v{SYNTH_VERSION}"]
     if os.path.isdir(src):
         for f in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, f))
@@ -1003,6 +1006,38 @@ def q_byte_histogram(spark, sf_dir):
     return h.select(
         "url", F.posexplode("hist").alias("bucket", "n")
     ).select("url", F.col("bucket").cast("int").alias("bucket"), F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "cdc_latest_state",
+    f"""{_PIPE_CTES}
+    SELECT doc_id,
+           CAST(max_by((doc_id * 31 + (seq + 1) * 7) % 1000, seq) AS BIGINT) AS last_state,
+           CAST(min_by((doc_id * 31 + seq * 7) % 1000, seq) AS BIGINT) AS first_state,
+           CAST(count(*) AS BIGINT) AS n_updates
+    FROM page_events WHERE event_type = 'update' GROUP BY doc_id""",
+)
+def q_cdc_latest_state(spark, sf_dir):
+    """CDC before/after reconstruction (the UPDATE_ROWS two-image analog,
+    /root/reference/binlog/event_rows.go:92-98): update events carry
+    old=/new= images in their payload; the query parses them back out of
+    the html (real extraction, native str_to_map) and reconstructs the
+    latest state per key as max_by(new, seq) plus the earliest before-image
+    — the oracle computes both analytically from the event grammar."""
+    ev = with_attrs(_parsed_events(spark, sf_dir)).where(
+        F.col("event_type") == "update"
+    )
+    upd = ev.select(
+        F.col("attrs")["k1"].cast("long").alias("doc_id"),
+        F.col("seq"),
+        F.col("attrs")["old"].cast("long").alias("old_img"),
+        F.col("attrs")["new"].cast("long").alias("new_img"),
+    )
+    return upd.groupBy("doc_id").agg(
+        F.max_by("new_img", "seq").alias("last_state"),
+        F.min_by("old_img", "seq").alias("first_state"),
+        F.count(F.lit(1)).alias("n_updates"),
+    )
 
 
 @query(

@@ -20,6 +20,11 @@ Event records are embedded as marker-delimited segments
     \xc2\xa7EVT|{event_type}|k1={doc_id};k2={seq}\xc2\xa7
 mirroring the reference's framed events (19-byte header + payload,
 /root/reference/binlog/event_header.go:27-48) in a regex-extractable form.
+`update` events additionally carry a CDC before/after image pair
+    ;old={cdc_old_of(doc_id,seq)};new={cdc_new_of(doc_id,seq)}
+— the two-image UPDATE_ROWS analog (/root/reference/binlog/event_rows.go:92-98),
+pure functions of (doc_id, seq) so state reconstruction has an analytic
+SQL oracle.
 
 Edge fixtures (FIXTURES.md §1), each a pure doc_id predicate:
 - doc_id % 37 == 0  → lang 'unknown'   (unmatched-dimension error path;
@@ -66,6 +71,9 @@ PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
 
+# bump when the html grammar changes (invalidates materialized-pages caches)
+SYNTH_VERSION = 2
+
 
 # ------------------------------------------------------- pure-row functions
 
@@ -93,6 +101,19 @@ def n_events_of(doc_id: int) -> int:
 
 def event_type_of(doc_id: int, seq: int) -> str:
     return EVENT_TYPES[(doc_id + seq) % 4]
+
+
+CDC_MOD = 1000
+
+
+def cdc_old_of(doc_id: int, seq: int) -> int:
+    """Before-image of an update event — pure, nonnegative for seq ≥ 0."""
+    return (doc_id * 31 + seq * 7) % CDC_MOD
+
+
+def cdc_new_of(doc_id: int, seq: int) -> int:
+    """After-image: cdc_old_of of the NEXT seq, so images chain."""
+    return (doc_id * 31 + (seq + 1) * 7) % CDC_MOD
 
 
 def is_empty_html(doc_id: int) -> bool:
@@ -129,8 +150,11 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
     parts = [b'<html><head><meta lang="', lang_p.encode("ascii"), b'"></head><body>']
     for seq in range(n_events_of(doc_id)):
         et = event_type_of(doc_id, seq)
+        payload = f"k1={doc_id};k2={seq}"
+        if et == "update":  # CDC before/after image pair
+            payload += f";old={cdc_old_of(doc_id, seq)};new={cdc_new_of(doc_id, seq)}"
         parts.append(MARK + b"EVT|" + et.encode("ascii") + b"|" +
-                     f"k1={doc_id};k2={seq}".encode("ascii") + MARK)
+                     payload.encode("ascii") + MARK)
     parts.append(text_bytes_of(doc_id, text))
     parts.append(b"</body></html>")
     return b"".join(parts)

@@ -13,7 +13,7 @@ def test_parse_simple_page():
     assert p.parse_status == rp.PARSE_OK
     assert p.meta_lang == "en"
     assert p.text_bytes == b"hello world"
-    assert p.events == [(0, "update", "k1=1;k2=0"), (1, "delete", "k1=1;k2=1")]
+    assert p.events == [(0, "update", "k1=1;k2=0;old=31;new=38"), (1, "delete", "k1=1;k2=1")]
 
 
 def test_parse_empty_html():

@@ -109,7 +109,7 @@ def test_build_html_golden():
     h = build_html(1, "ab", "en")
     assert h == (
         b'<html><head><meta lang="en"></head><body>'
-        b"\xc2\xa7EVT|update|k1=1;k2=0\xc2\xa7"
+        b"\xc2\xa7EVT|update|k1=1;k2=0;old=31;new=38\xc2\xa7"
         b"\xc2\xa7EVT|delete|k1=1;k2=1\xc2\xa7"
         b"ab</body></html>"
     )
