@@ -1009,6 +1009,35 @@ def q_byte_histogram(spark, sf_dir):
 
 
 @query(
+    "merge_upsert_state",
+    """SELECT doc_id,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000000
+                   ELSE n_chars END AS BIGINT) AS state
+       FROM documents""",
+)
+def q_merge_upsert_state(spark, sf_dir):
+    """MERGE/upsert protocol under the exact oracle: load all docs as the
+    base snapshot, MERGE an update batch (every 3rd doc), REPLAY the same
+    batch (must be a no-op), then read the committed snapshot back. The
+    oracle states the expected final table directly."""
+    import tempfile
+
+    from .plans.merge import merge_upsert, read_table
+
+    docs = _t(spark, sf_dir, "documents")
+    b1 = docs.select("doc_id", F.col("n_chars").cast("long").alias("state"))
+    b2 = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", (F.col("n_chars") + F.lit(1_000_000)).cast("long").alias("state")
+    )
+    tdir = tempfile.mkdtemp(prefix="bocadillo_merge_q_")
+    merge_upsert(spark, tdir, b1, ["doc_id"], batch_id=1)
+    merge_upsert(spark, tdir, b2, ["doc_id"], batch_id=2)
+    replay = merge_upsert(spark, tdir, b2, ["doc_id"], batch_id=2)
+    assert replay.get("skipped_replay"), "replayed batch must not re-commit"
+    return read_table(spark, tdir).select("doc_id", "state")
+
+
+@query(
     "cdc_latest_state",
     f"""{_PIPE_CTES}
     SELECT doc_id,
