@@ -29,8 +29,10 @@ BENCH_DIR = "/tmp/bocadillo_bench"
 
 
 def _pages_path(sf_dir: str, replicas: int) -> str:
+    from bocadillo_spark.synth import SYNTH_VERSION
+
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"{BENCH_DIR}/pages_{tag}_x{replicas}"
+    return f"{BENCH_DIR}/pages_{tag}_x{replicas}_v{SYNTH_VERSION}"
 
 
 def materialize_pages(spark, sf_dir: str, replicas: int) -> tuple[str, int]:
@@ -149,8 +151,13 @@ def main() -> None:
     from bocadillo_spark import queries as Q
 
     query_secs: dict[str, float] = {}
+    # dedup_minhash / dedup_simhash / doc_fingerprint / lang_id went fully
+    # native in round 2 (no Python worker in any plan) — benched to record
+    # the throughput of the training-data layer, not just the relational one
     for name in ["q1_pricing_summary", "revenue_by_nation", "dedup_exact",
-                 "ann_cosine_topk", "latest_event_per_user", "text_stats"]:
+                 "ann_cosine_topk", "latest_event_per_user", "text_stats",
+                 "dedup_minhash", "dedup_simhash", "doc_fingerprint",
+                 "lang_id", "dedup_embedding"]:
         t0 = time.time()
         Q.QUERIES[name](spark, sf_dir).collect()
         query_secs[name] = round(time.time() - t0, 3)

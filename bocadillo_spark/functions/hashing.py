@@ -25,6 +25,74 @@ _B = _rs.randint(0, MERSENNE61, size=N_PERM, dtype=np.int64).astype(np.uint64)
 
 SIMHASH_BITS = 64
 
+# ---- pure-Python xxHash64 (public-domain algorithm, seed 42 = Spark's
+# F.xxhash64 default) — the scalar twin that lets pytest verify native
+# Spark hash pipelines value for value -----------------------------------
+
+_XXM = (1 << 64) - 1
+_XXP1, _XXP2, _XXP3, _XXP4, _XXP5 = (
+    0x9E3779B185EBCA87,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63,
+    0x27D4EB2F165667C5,
+)
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXM
+
+
+def _xxround(acc: int, lane: int) -> int:
+    acc = (acc + lane * _XXP2) & _XXM
+    return (_rotl(acc, 31) * _XXP1) & _XXM
+
+
+def _xxmerge(h: int, v: int) -> int:
+    h ^= _xxround(0, v)
+    return (h * _XXP1 + _XXP4) & _XXM
+
+
+def xxhash64(data: bytes, seed: int = 42) -> int:
+    """xxHash64 over raw bytes — value-identical to Spark's F.xxhash64 on
+    the UTF-8 bytes of a string column (verified by test). Unsigned."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _XXM
+        v2 = (seed + _XXP2) & _XXM
+        v3 = seed & _XXM
+        v4 = (seed - _XXP1) & _XXM
+        while i + 32 <= n:
+            v1 = _xxround(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xxround(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xxround(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xxround(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _XXM
+        for v in (v1, v2, v3, v4):
+            h = _xxmerge(h, v)
+    else:
+        h = (seed + _XXP5) & _XXM
+    h = (h + n) & _XXM
+    while i + 8 <= n:
+        h ^= _xxround(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * _XXP1 + _XXP4) & _XXM
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXP1) & _XXM
+        h = (_rotl(h, 23) * _XXP2 + _XXP3) & _XXM
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _XXM
+        h = (_rotl(h, 11) * _XXP1) & _XXM
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _XXM
+    h ^= h >> 29
+    h = (h * _XXP3) & _XXM
+    h ^= h >> 32
+    return h
+
 
 def stable_hash64(token: str) -> int:
     """Deterministic 64-bit token hash (blake2b; NOT Python hash(), which is
@@ -81,10 +149,16 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (term-frequency weighted)."""
+    """64-bit SimHash over single-space tokens (term-frequency weighted),
+    xxhash64-based — the EXACT scalar twin of the native Spark expression
+    in operators/dedup.simhash_signatures (bit i set iff more than half
+    the token hashes have bit i set). Unsigned result."""
+    toks = [t for t in text.split(" ") if t]
+    if not toks:
+        return 0
     acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-    for tok in text.split():
-        h = stable_hash64(tok)
+    for tok in toks:
+        h = np.uint64(xxhash64(tok.encode("utf-8")))
         bits = (h >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), 1, -1)
     out = 0

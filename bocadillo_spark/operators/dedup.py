@@ -21,18 +21,11 @@ implementations for the pytest suite; the Spark path shares no Python.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import hashing as H
-
 MAX_BUCKET = 50  # drop degenerate buckets (e.g. empty-text) — logged, not silent
-
-SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 # ---- native MinHash constants (seeded like the hashing.py kernel) ----------
 P31 = (1 << 31) - 1
@@ -235,23 +228,36 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
-def _to_i64(u: int) -> int:
-    return u - (1 << 64) if u >= (1 << 63) else u
-
-
-def _simhash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                # signed int64 (Spark LongType); bit pattern preserved
-                "simhash": [_to_i64(H.simhash64(t or "")) for t in pdf["text"]],
-            }
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash, fully native: token hashes materialized once
+    (xxhash64 per token), then 64 per-bit majority tallies — each an
+    aggregate fold over the hash array, OR-composed into one LongType bit
+    pattern. Term-frequency weighted (duplicate tokens kept). Exactly
+    mirrors the hashing.simhash64 scalar twin (pytest-verified value for
+    value): bit i set iff strictly more than half the token hashes have
+    bit i set."""
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                lambda t: t != "",
+            ),
+            lambda t: F.xxhash64(t),
+        ).alias("hv"),
+    )
+    def bit_tally(i):
+        return lambda acc, h: acc + F.shiftrightunsigned(h, i).bitwiseAND(
+            F.lit(1).cast("long")
         )
 
-
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", "text").mapInPandas(_simhash_batch, SIMHASH_SCHEMA)
+    n = F.size(F.col("hv"))
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        ones = F.aggregate(F.col("hv"), F.lit(0).cast("long"), bit_tally(i))
+        bit = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        sig = sig.bitwiseOR(F.when(ones * 2 > n, bit).otherwise(F.lit(0).cast("long")))
+    return hashed.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:

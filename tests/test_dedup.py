@@ -76,6 +76,30 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
         assert abs(H.jaccard(texts[a], texts[b]) - j) < 1e-12
 
 
+def test_xxhash64_kernel_matches_spark(spark):
+    from pyspark.sql import functions as F
+
+    strs = ["", "a", "hello world", "x" * 31, "y" * 32, "z" * 100, "中文 tokens"]
+    df = spark.createDataFrame([(s,) for s in strs], "t string").select(
+        "t", F.xxhash64("t").alias("h")
+    )
+    for r in df.collect():
+        u = H.xxhash64(r["t"].encode("utf-8"))
+        assert u - (1 << 64 if u >= 1 << 63 else 0) == r["h"], repr(r["t"])
+
+
+def test_simhash_native_matches_kernel(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    sigs = simhash_signatures(docs)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan
+    got = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    for r in docs.select("doc_id", "text").collect():
+        u = H.simhash64(r["text"] or "")
+        want = u - (1 << 64 if u >= 1 << 63 else 0)
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
 def test_simhash_near_dups(spark, sf_dir):
     docs = augment_with_near_dups(
         spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
