@@ -316,6 +316,93 @@ def q_large_join(spark, sf_dir):
 
 
 @query(
+    "q3_shipping_priority",
+    """SELECT l.l_orderkey,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+         o.o_orderpriority
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1998-03-15'
+         AND l.l_shipdate > TIMESTAMP '1998-03-15'
+       GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       ORDER BY revenue DESC, l.l_orderkey LIMIT 10""",
+)
+def q_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 analog (shipping priority): selective dim filter broadcast
+    into the fact join, decimal-exact discounted revenue, global top-10
+    with an integer tiebreak. The filters reach the parquet scans
+    (PushedFilters), so at 100 TB only matching row groups are read."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q10_returned_items",
+    """SELECT c.c_custkey, c.c_name,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_returnflag = 'R'
+       GROUP BY c.c_custkey, c.c_name
+       ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+)
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 analog (returned-item revenue by customer): fact-side
+    filter pushed to the scan, broadcast customer dim, decimal-exact
+    revenue, top-20 by revenue."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
     "top_users_by_value",
     """SELECT CAST(user_id AS BIGINT) AS user_id,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
