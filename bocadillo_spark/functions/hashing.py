@@ -207,9 +207,9 @@ _HP_SEED = 7
 N_HYPERPLANES = 16
 
 
-def hyperplanes(dim: int) -> np.ndarray:
+def hyperplanes(dim: int, n: int = N_HYPERPLANES) -> np.ndarray:
     rs = np.random.RandomState(_HP_SEED)
-    return rs.normal(size=(N_HYPERPLANES, dim)).astype(np.float64)
+    return rs.normal(size=(n, dim)).astype(np.float64)
 
 
 def lsh_bucket(vec: np.ndarray, planes: np.ndarray) -> int:
