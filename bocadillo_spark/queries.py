@@ -973,6 +973,32 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
+@query(
+    "bpe_token_stats",
+    """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS n_bpe_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_word_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct_tokens
+       FROM documents""",
+)
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish tokenizer counting (pre-tokenizer shape: word runs +
+    individual punctuation marks, the GPT-2-style split before merges) —
+    native regexp_extract_all, JVM-side; the regex uses only the
+    dialect-portable subset so the DuckDB twin is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+    words = F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+"), 0)
+    punct = F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(words).cast("long").alias("n_word_tokens"),
+        F.size(punct).cast("long").alias("n_punct_tokens"),
+    )
+
+
 @query("ann_lsh_topk")
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (sign random projection, hamming
