@@ -31,13 +31,62 @@ def _spread(routed: DataFrame, n: int = FANOUT_PARTITIONS) -> DataFrame:
     )
 
 
+def _footer_lineage(data_dir: str) -> list[dict] | None:
+    """Per-file (first_url, last_url, n) from parquet FOOTER statistics —
+    metadata-only, no data scan (the same trick Iceberg manifests use:
+    per-file column bounds come from footers). Returns None if any file
+    lacks url min/max stats (caller falls back to the scan path)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, names in os.walk(data_dir):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(root, name)
+            rel = os.path.relpath(path, data_dir)
+            parts = dict(
+                p.split("=", 1) for p in rel.split(os.sep) if "=" in p
+            )
+            if "sink_id" not in parts or "event_type" not in parts:
+                return None
+            md = pq.ParquetFile(path).metadata
+            url_idx = next(
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == "url"
+                ),
+                None,
+            ) if md.num_row_groups else None
+            if url_idx is None:
+                return None
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(url_idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append(
+                {
+                    "file": rel,
+                    "sink": f"{parts['sink_id']}/{parts['event_type']}",
+                    "first_url": min(mins),
+                    "last_url": max(maxs),
+                    "n": int(md.num_rows),
+                }
+            )
+    return out
+
+
 def write_fanout(routed: DataFrame, out_dir: str, batch_id: int = 0) -> dict:
     """Write one (micro-)batch fan-out + manifest. Returns the manifest.
 
-    The pipeline executes ONCE (the write); lineage and reconciliation
-    counts come from a single cheap read-back pass over the just-written
-    files (url + partition columns only — parquet column pruning makes
-    this a tiny scan). Lineage is file-granular: files are the unit of
+    The pipeline executes ONCE (the write); per-file lineage comes from
+    parquet FOOTER statistics (metadata-only — no second pass over the
+    batch's data), with a read-back scan as the fallback when stats are
+    unavailable. Lineage is file-granular: files are the unit of
     recovery/commit, the honest analog of the reference's (file, offset)
     position (/root/reference/binlog/event_rotate.go:7-10)."""
     data_dir = os.path.join(out_dir, "data", f"batch_id={batch_id}")
@@ -48,32 +97,33 @@ def write_fanout(routed: DataFrame, out_dir: str, batch_id: int = 0) -> dict:
         .parquet(data_dir)
     )
 
-    written = spark.read.parquet(data_dir).select(
-        F.input_file_name().alias("file"), "url", "sink_id", "event_type"
-    )
-    per_file = (
-        written.groupBy("file", "sink_id", "event_type")
-        .agg(
-            F.min("url").alias("first_url"),
-            F.max("url").alias("last_url"),
-            F.count(F.lit(1)).alias("n"),
+    files = _footer_lineage(data_dir)
+    if files is None:  # fallback: one column-pruned read-back pass
+        written = spark.read.parquet(data_dir).select(
+            F.input_file_name().alias("file"), "url", "sink_id", "event_type"
         )
-        .collect()
-    )
-    counts: dict[str, int] = {}
-    files = []
-    for r in per_file:
-        key = f"{r['sink_id']}/{r['event_type']}"
-        counts[key] = counts.get(key, 0) + r["n"]
-        files.append(
+        per_file = (
+            written.groupBy("file", "sink_id", "event_type")
+            .agg(
+                F.min("url").alias("first_url"),
+                F.max("url").alias("last_url"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        files = [
             {
-                "file": r["file"].rsplit("/batch_id=", 1)[-1],
-                "sink": key,
+                "file": r["file"].rsplit("/batch_id=", 1)[-1].split("/", 1)[-1],
+                "sink": f"{r['sink_id']}/{r['event_type']}",
                 "first_url": r["first_url"],
                 "last_url": r["last_url"],
                 "n": r["n"],
             }
-        )
+            for r in per_file
+        ]
+    counts: dict[str, int] = {}
+    for f in files:
+        counts[f["sink"]] = counts.get(f["sink"], 0) + f["n"]
     manifest = {
         "batch_id": batch_id,
         "files": sorted(files, key=lambda f: f["file"]),

@@ -48,6 +48,33 @@ def test_batch_fanout_and_manifest(spark, sf_dir):
         assert df.filter(F.col("text_bytes").isNotNull()).count() > 0
 
 
+def test_footer_lineage_matches_scan(spark, sf_dir):
+    """Per-file lineage from parquet footer statistics must equal the
+    read-back scan exactly (counts AND url bounds) — proves the
+    metadata-only path is safe to use as the default."""
+    from bocadillo_spark.plans.sinks import _footer_lineage
+
+    routed = route(
+        parse_events(with_host(synth_pages(spark, sf_dir))), build_routing_dim(spark)
+    )
+    with tempfile.TemporaryDirectory() as out:
+        write_fanout(routed, out, batch_id=0)
+        data_dir = f"{out}/data/batch_id=0"
+        foot = _footer_lineage(data_dir)
+        assert foot is not None and len(foot) > 0
+        scan = (
+            spark.read.parquet(data_dir)
+            .groupBy(F.input_file_name().alias("f"), "sink_id", "event_type")
+            .agg(F.min("url").alias("lo"), F.max("url").alias("hi"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        want = {
+            r["f"].rsplit("/batch_id=0/", 1)[-1]: (r["lo"], r["hi"], r["n"]) for r in scan
+        }
+        got = {f["file"]: (f["first_url"], f["last_url"], f["n"]) for f in foot}
+        assert got == want
+
+
 def test_streaming_matches_batch(spark, sf_dir):
     with tempfile.TemporaryDirectory() as tmp:
         pages_path = write_pages(spark, sf_dir, f"{tmp}/pages", num_partitions=8)
