@@ -49,6 +49,30 @@ def test_counts_plan_shape(spark, sf_dir, tmp_path):
     assert len(shuffles) <= 2, shuffles  # tree line + detail section
 
 
+def test_q3_plan_pushdown_and_broadcast(spark, sf_dir):
+    """TPC-H Q3 analog: date/segment filters reach the parquet scans and
+    the customer dim broadcasts — the properties that keep it one fact
+    pass at 100 TB."""
+    from bocadillo_spark.queries import QUERIES
+
+    plan = _formatted(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "GreaterThan" in l]
+    assert pushed, "lineitem shipdate filter must push to the scan"
+    # the wide text/html columns never enter this plan
+    assert "l_quantity" not in plan  # column pruning on lineitem
+
+
+def test_minhash_plan_is_python_free_and_bucketed(spark, sf_dir):
+    from bocadillo_spark.queries import QUERIES
+
+    plan = _formatted(QUERIES["dedup_minhash"](spark, sf_dir))
+    for bad in ("MapInPandas", "ArrowEval", "BatchEvalPython", "CartesianProduct",
+                "BroadcastNestedLoop"):
+        assert bad not in plan, bad
+
+
 def test_filter_pushdown_to_scan(spark, sf_dir, tmp_path):
     path = str(tmp_path / "pages2")
     synth_pages(spark, sf_dir).write.parquet(path)
