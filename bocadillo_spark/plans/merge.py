@@ -136,7 +136,11 @@ def merge_upsert(
         if deletes is not None:
             keys = keys.unionByName(deletes).distinct()
         kept = cur.join(F.broadcast(keys) if _small(ups) else keys, key_cols, "left_anti")
-        merged = kept.unionByName(ups)
+        # schema evolution (Iceberg add-column semantics): columns new in
+        # this batch backfill NULL for pre-existing rows; columns the batch
+        # omits stay NULL for its rows. No column is ever dropped — the
+        # snapshot schema is the union, recorded in the commit metadata.
+        merged = kept.unionByName(ups, allowMissingColumns=True)
         op = "merge"
 
     version = parent + 1
@@ -150,6 +154,7 @@ def merge_upsert(
         "batch_id": batch_id,
         "key": list(key_cols),
         "row_count": int(n),
+        "schema": merged.schema.simpleString(),
     }
     _commit(table_dir, meta)
     return meta

@@ -50,6 +50,32 @@ def test_merge_upsert_replay_and_time_travel(spark, tmp_path):
     assert [h["version"] for h in table_history(t)] == [1, 2, 3]
 
 
+def test_merge_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg add-column semantics: a batch with a NEW column merges; old
+    rows read back NULL for it; the snapshot schema is the union and is
+    recorded in the commit metadata."""
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("u1", 1, "a"), ("u2", 2, "a")], "url string, doc_id long, state string"
+    )
+    merge_upsert(spark, t, base, ["url"], batch_id=1)
+    upd = spark.createDataFrame(
+        [("u2", 2, "b", 0.9), ("u3", 3, "a", 0.5)],
+        "url string, doc_id long, state string, quality double",
+    )
+    m = merge_upsert(spark, t, upd, ["url"], batch_id=2)
+    assert "quality" in m["schema"]
+    rows = {r["url"]: (r["state"], r["quality"]) for r in read_table(spark, t).collect()}
+    assert rows == {"u1": ("a", None), "u2": ("b", 0.9), "u3": ("a", 0.5)}
+    # and a batch missing an existing column still merges (null-filled)
+    upd2 = spark.createDataFrame([("u4", 4, "a")], "url string, doc_id long, state string")
+    merge_upsert(spark, t, upd2, ["url"], batch_id=3)
+    r4 = [r for r in read_table(spark, t).collect() if r["url"] == "u4"][0]
+    assert r4["quality"] is None
+    # old snapshot (pre-evolution) is still readable with its own schema
+    assert "quality" not in read_table(spark, t, version=1).columns
+
+
 def test_merge_upsert_delete_and_batch_dedupe(spark, tmp_path):
     t = str(tmp_path / "tbl")
     base = spark.createDataFrame(
