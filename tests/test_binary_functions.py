@@ -225,6 +225,92 @@ def test_time_datetime_v1_and_year():
     assert B.decode_year(255) == 2155
 
 
+# ---- property tests: encode∘decode = id across the whole input domain ------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=2**64 - 1), st.sampled_from([1, 2, 3, 4, 6, 8]))
+def test_prop_uint_le_roundtrip(v, width):
+    v %= 1 << (8 * width)
+    assert B.decode_uint_le(B.encode_uint_le(v, width), width) == v
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(st.none(), st.integers(min_value=0, max_value=2**64 - 1)))
+def test_prop_lenenc_roundtrip(v):
+    enc = B.encode_lenenc_int(v)
+    dec, used = B.decode_lenenc_int(enc)
+    assert (dec, used) == (v, len(enc))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=838),
+    st.integers(min_value=0, max_value=59),
+    st.integers(min_value=0, max_value=59),
+    st.integers(min_value=0, max_value=999999),
+    st.sampled_from([0, 2, 4, 6]),
+    st.booleans(),
+)
+def test_prop_time2_roundtrip(hour, minute, sec, usec, fsp, neg):
+    unit = {0: 1000000, 2: 10000, 4: 100, 6: 1}[fsp]
+    usec = (usec // unit) * unit  # representable at this fsp
+    if hour == 0 and minute == 0 and sec == 0 and usec == 0:
+        neg = False  # no negative zero
+    s, n = B.decode_time2(_enc_time2(hour, minute, sec, usec, fsp, neg=neg), fsp)
+    want = f"{hour:02d}:{minute:02d}:{sec:02d}"
+    if usec:
+        want += f".{usec:06d}"
+    if neg and (hour or minute or sec or usec):
+        want = "-" + want
+    assert s == want and n == 3 + (fsp + 1) // 2
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9999),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=28),
+    st.integers(min_value=0, max_value=23),
+    st.integers(min_value=0, max_value=59),
+    st.integers(min_value=0, max_value=59),
+    st.integers(min_value=0, max_value=999999),
+    st.sampled_from([0, 3, 6]),
+)
+def test_prop_datetime2_roundtrip(y, mo, d, h, mi, s, usec, fsp):
+    unit = {0: 1000000, 3: 100, 6: 1}[fsp]
+    usec = (usec // unit) * unit
+    ym = y * 13 + mo
+    ip = (((ym << 5) | d) << 17) | (h << 12) | (mi << 6) | s
+    data = (ip + B._DT2_OFFSET).to_bytes(5, "big")
+    if fsp == 3:
+        data += (usec // 100).to_bytes(2, "big")
+    elif fsp == 6:
+        data += usec.to_bytes(3, "big")
+    out, n = B.decode_datetime2(data, fsp)
+    want = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+    if usec:
+        want += f".{usec:06d}"
+    assert out == want and n == 5 + (fsp + 1) // 2
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.decimals(allow_nan=False, allow_infinity=False, places=4,
+                   min_value=-10**12, max_value=10**12))
+def test_prop_packed_decimal_roundtrip(d):
+    s = f"{d:.4f}"
+    raw = _enc_dec(s, 20, 4)
+    want = s
+    neg = s.startswith("-")
+    ip, fp = s.lstrip("-").split(".")
+    ip = ip.lstrip("0") or "0"
+    want = ("-" if neg and not (ip == "0" and fp == "0000") else "") + ip + "." + fp
+    assert B.decode_packed_decimal(raw, 20, 4) == want
+
+
 def test_parse_version_number():
     # mysql_get_server_version canonicalization (event_format_description.go:109-134)
     assert B.parse_version_number("5.7.19-log") == 50719

@@ -73,6 +73,30 @@ def test_minhash_plan_is_python_free_and_bucketed(spark, sf_dir):
         assert bad not in plan, bad
 
 
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """The 100 TB layout story: a table written partitioned by its hot
+    filter column serves type-filtered queries by PRUNING whole partitions
+    at planning time — the scan's PartitionFilters must carry the
+    predicate and read only matching directories."""
+    path = str(tmp_path / "events_by_type")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.partitionBy(
+        "event_type"
+    ).parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click").select(
+        "event_id", "user_id"
+    )
+    plan = _formatted(df)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf and ("isnotnull" in pf or "click" in pf), pf
+    # and the row counts agree with an unpartitioned filter
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert df.count() == want
+
+
 def test_filter_pushdown_to_scan(spark, sf_dir, tmp_path):
     path = str(tmp_path / "pages2")
     synth_pages(spark, sf_dir).write.parquet(path)
