@@ -279,8 +279,13 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 def simhash_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Block on 4 x 16-bit chunks (pigeonhole: hamming ≤3 ⇒ ≥1 chunk equal),
-    verify Hamming on candidates — all native bit ops, no UDF."""
-    chunks = sigs.select(
+    verify Hamming on candidates — all native bit ops, no UDF. No persist
+    here: both self-join sides are the IDENTICAL subplan, so Spark's
+    ReusedExchange computes the signature shuffle once already (persist
+    measured slower — it pays materialization for nothing; contrast with
+    minhash, where the bands frame feeds two DIFFERENT exchanges and
+    persist wins 2.5x)."""
+    chunks = (sigs.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -296,7 +301,7 @@ def simhash_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("chunk_key"),
-    )
+    ))
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, "chunk_key")
