@@ -113,20 +113,31 @@ def q_route_counts_streaming(spark, sf_dir):
     Structured-Streaming pipeline (micro-batched parse→route→fan-out →
     read-back) — streaming correctness sits under the exact SQL oracle,
     not just pytest."""
+    from .plans.sinks import read_sink_counts
+    from .streaming.stream import run_stream_to_completion
+
+    pages_dir, root = _stream_workspace(spark, sf_dir)
+    out_dir = f"{root}/out"
+    ckpt_dir = f"{root}/ckpt"
+    # resume-or-run: a prior partial run continues from its checkpoint
+    run_stream_to_completion(spark, pages_dir, out_dir, ckpt_dir, max_files_per_trigger=3)
+    return read_sink_counts(spark, out_dir).select(
+        "sink_id", "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
+def _stream_workspace(spark, sf_dir: str) -> tuple[str, str]:
+    """Materialized streaming-input pages + a state root, cached under a
+    content fingerprint of the source parquet (path + per-file size/mtime)
+    + synth grammar version — neither testdata changes nor grammar changes
+    can silently reuse stale pages/checkpoints."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    from .plans.sinks import read_sink_counts
-    from .streaming.stream import run_stream_to_completion
-    from .synth import write_pages
+    from .synth import SYNTH_VERSION, write_pages
 
-    from .synth import SYNTH_VERSION
-
-    # cache key = content fingerprint of the source parquet (path + per-file
-    # size/mtime) + synth grammar version, so neither testdata changes nor
-    # grammar changes can silently reuse stale pages/state
     src = os.path.join(sf_dir, "documents.parquet")
     sig_parts = [sf_dir, f"synth_v{SYNTH_VERSION}"]
     if os.path.isdir(src):
@@ -139,16 +150,36 @@ def q_route_counts_streaming(spark, sf_dir):
     tag = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"bocadillo_stream_q_{tag}")
     pages_dir = os.path.join(root, "pages")
-    out_dir = os.path.join(root, "out")
-    ckpt_dir = os.path.join(root, "ckpt")
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
-        # a partial prior write means out/ckpt are untrustworthy too
+        # a partial prior write means all downstream state is untrustworthy
         shutil.rmtree(root, ignore_errors=True)
         write_pages(spark, sf_dir, pages_dir, num_partitions=6)
-    # resume-or-run: a prior partial run continues from its checkpoint
-    run_stream_to_completion(spark, pages_dir, out_dir, ckpt_dir, max_files_per_trigger=3)
-    return read_sink_counts(spark, out_dir).select(
-        "sink_id", "event_type", F.col("n").cast("long").alias("n")
+    return pages_dir, root
+
+
+@query(
+    "cdc_latest_state_streaming",
+    f"""{_PIPE_CTES}
+    SELECT doc_id, CAST(max(seq) AS BIGINT) AS seq,
+           CAST(max_by((doc_id * 31 + (seq + 1) * 7) % 1000, seq) AS BIGINT) AS last_state
+    FROM page_events WHERE event_type = 'update' GROUP BY doc_id""",
+)
+def q_cdc_latest_state_streaming(spark, sf_dir):
+    """The full CDC consumption loop under the exact SQL oracle: stream the
+    raw pages through checkpointed micro-batches, extract update
+    before/after images, MERGE the after-images into the snapshot table
+    (epoch id = merge batch_id → replay-safe exactly-once), then read the
+    committed snapshot back. The oracle computes the expected final state
+    analytically from the event grammar."""
+    from .plans.merge import read_table
+    from .streaming.cdc import run_cdc_stream_to_completion
+
+    pages_dir, root = _stream_workspace(spark, sf_dir)
+    table_dir = f"{root}/cdc_table"
+    ckpt_dir = f"{root}/cdc_ckpt"
+    run_cdc_stream_to_completion(spark, pages_dir, table_dir, ckpt_dir, max_files_per_trigger=3)
+    return read_table(spark, table_dir).select(
+        "doc_id", "seq", F.col("new_img").alias("last_state")
     )
 
 

@@ -76,6 +76,52 @@ def test_merge_schema_evolution_add_column(spark, tmp_path):
     assert "quality" not in read_table(spark, t, version=1).columns
 
 
+def test_cdc_stream_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the CDC stream after ≥1 committed merge, restart from the
+    checkpoint: final table equals the batch-computed latest state exactly
+    (epoch-id replay hits merge_upsert's committed-batch no-op)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.parse import parse_events, with_attrs, with_host
+    from bocadillo_spark.streaming.cdc import start_cdc_stream
+    from bocadillo_spark.synth import write_pages
+
+    pages_dir = write_pages(spark, sf_dir, str(tmp_path / "pages"), num_partitions=8)
+    table, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+
+    q = start_cdc_stream(spark, pages_dir, table, ckpt, max_files_per_trigger=2)
+    deadline = time.time() + 120
+    while time.time() < deadline and current_version(table) < 1:
+        time.sleep(0.5)
+    q.stop()
+    assert current_version(table) >= 1
+
+    q2 = start_cdc_stream(spark, pages_dir, table, ckpt, max_files_per_trigger=2)
+    q2.awaitTermination()
+
+    got = {
+        (r["doc_id"], r["seq"], r["new_img"])
+        for r in read_table(spark, table).select("doc_id", "seq", "new_img").collect()
+    }
+    ev = with_attrs(
+        parse_events(with_host(spark.read.parquet(pages_dir)))
+    ).where(F.col("event_type") == "update")
+    want = {
+        (r["doc_id"], r["seq"], r["new_img"])
+        for r in ev.select(
+            F.col("attrs")["k1"].cast("long").alias("doc_id"),
+            F.col("seq").cast("long").alias("seq"),
+            F.col("attrs")["new"].cast("long").alias("new_img"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("seq").alias("seq"), F.max_by("new_img", "seq").alias("new_img"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_merge_upsert_delete_and_batch_dedupe(spark, tmp_path):
     t = str(tmp_path / "tbl")
     base = spark.createDataFrame(
