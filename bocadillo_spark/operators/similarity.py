@@ -164,22 +164,44 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_centroids(e: DataFrame, n_clusters: int = 20, seed: int = 7) -> DataFrame | None:
+    """Seed-pinned k-means coarse quantizer (pyspark.ml) — the trained-IVF
+    centroid set. Returns None when pyspark.ml is unavailable (callers fall
+    back to stride sampling). Deterministic: fixed seed + fixed input."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError:
+        return None
+    feat = e.select("vec_id", array_to_vector(F.col("e")).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=8).fit(feat)
+    spark = e.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "centroid_id long, ce array<double>")
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 5,
     k: int = 10,
     nprobe: int = 3,
     centroid_mod: int = 25,
+    train: bool = True,
 ) -> DataFrame:
-    """IVF-style ANN: deterministic coarse centroids (every `centroid_mod`-th
-    vector — no training step, honest inverted-list structure), queries probe
-    their `nprobe` nearest lists, exact cosine within the probed lists."""
+    """IVF ANN: coarse centroids (seed-pinned k-means when pyspark.ml is
+    present — the real IVF training step; every-`centroid_mod`-th vector as
+    the dependency-free fallback), queries probe their `nprobe` nearest
+    lists, exact cosine within the probed lists."""
     e = emb.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
-    centroids = e.where(F.col("vec_id") % centroid_mod == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
-    )
+    centroids = kmeans_centroids(e) if train else None
+    if centroids is None:
+        centroids = e.where(F.col("vec_id") % centroid_mod == 0).select(
+            F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+        )
     assigned = ivf_assign(e, centroids)
 
     q = assigned.where(F.col("vec_id") < n_queries).select(
