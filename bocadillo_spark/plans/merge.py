@@ -68,7 +68,10 @@ def read_table(spark: SparkSession, table_dir: str, version: int | None = None) 
     v = current_version(table_dir) if version is None else version
     if v == 0:
         raise ValueError("table has no committed snapshot")
-    return spark.read.parquet(_snap_dir(table_dir, v))
+    snap = _snap_dir(table_dir, v)
+    if not os.path.isdir(snap):
+        raise ValueError(f"snapshot v{v} data expired (metadata retained)")
+    return spark.read.parquet(snap)
 
 
 def _commit(table_dir: str, meta: dict) -> None:
@@ -158,6 +161,50 @@ def merge_upsert(
     }
     _commit(table_dir, meta)
     return meta
+
+
+def compact(spark: SparkSession, table_dir: str, target_files: int = 4) -> dict:
+    """Small-file compaction: rewrite the CURRENT snapshot into
+    `target_files` coalesced files and commit it as a new snapshot
+    (operation 'compact', no batch_id). Data-identical by construction;
+    the maintenance op every MERGE-heavy table needs at scale — each COW
+    merge writes a fresh file set, and read amplification grows with file
+    count until a compaction folds them."""
+    parent = current_version(table_dir)
+    cur = read_table(spark, table_dir, parent)
+    version = parent + 1
+    snap = _snap_dir(table_dir, version)
+    cur.coalesce(target_files).write.mode("overwrite").parquet(snap)
+    n = spark.read.parquet(snap).count()
+    meta = {
+        "version": version,
+        "parent": parent,
+        "operation": "compact",
+        "batch_id": None,
+        "key": None,
+        "row_count": int(n),
+        "schema": cur.schema.simpleString(),
+    }
+    _commit(table_dir, meta)
+    return meta
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Snapshot GC: delete the DATA of all but the newest `keep_last`
+    snapshots (commit metadata is kept, so history stays auditable; time
+    travel to an expired version raises). Returns expired version ids."""
+    import shutil
+
+    latest = current_version(table_dir)
+    expired = []
+    for meta in table_history(table_dir):
+        v = meta["version"]
+        if v <= latest - keep_last:
+            snap = _snap_dir(table_dir, v)
+            if os.path.isdir(snap):
+                shutil.rmtree(snap)
+                expired.append(v)
+    return expired
 
 
 def _small(df: DataFrame) -> bool:

@@ -122,6 +122,40 @@ def test_cdc_stream_resume_exactly_once(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_compact_and_expire_snapshots(spark, tmp_path):
+    """Compaction rewrites the current snapshot data-identically into fewer
+    files; expiry GCs old snapshot data while keeping commit history."""
+    import glob
+
+    import pytest
+
+    from bocadillo_spark.plans.merge import compact, expire_snapshots
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(f"u{i}", i, "a") for i in range(50)], "url string, doc_id long, state string"
+    ).repartition(8)
+    merge_upsert(spark, t, base, ["url"], batch_id=1)
+    upd = spark.createDataFrame(
+        [("u1", 1, "b")], "url string, doc_id long, state string"
+    )
+    merge_upsert(spark, t, upd, ["url"], batch_id=2)
+
+    before = _rows(spark, t)
+    m = compact(spark, t, target_files=1)
+    assert m["operation"] == "compact" and m["version"] == 3
+    assert _rows(spark, t) == before  # data identical
+    files = glob.glob(f"{t}/snapshots/snap-000003/part-*.parquet")
+    assert len(files) == 1  # actually coalesced
+
+    expired = expire_snapshots(t, keep_last=1)
+    assert expired == [1, 2]
+    assert _rows(spark, t) == before  # latest still readable
+    assert [h["version"] for h in table_history(t)] == [1, 2, 3]  # history kept
+    with pytest.raises(ValueError, match="expired"):
+        read_table(spark, t, version=1)
+
+
 def test_merge_upsert_delete_and_batch_dedupe(spark, tmp_path):
     t = str(tmp_path / "tbl")
     base = spark.createDataFrame(
