@@ -829,14 +829,72 @@ def q_user_value_quartiles(spark, sf_dir):
     return ev.select("user_id", "event_id", F.ntile(4).over(w).alias("quartile"))
 
 
-@query("approx_vs_exact_distinct")
+@query(
+    "approx_vs_exact_distinct",
+    """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+              true AS approx_within_default_rsd
+       FROM lineitem""",
+)
 def q_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HLL++) next to the exact count — rows-only
-    (no cross-engine oracle for sketches; Spark's HLL is rerun-stable)."""
+    """approx_count_distinct (HLL++) against the exact count. The sketch
+    value itself has no cross-engine oracle (it is engine-specific but
+    rerun-stable), so the GRADED columns are the exact count plus the
+    sketch's accuracy CONTRACT (|approx-exact|/exact within 3x the default
+    5% rsd) — the property a user of the sketch actually relies on. The
+    raw approx value stays visible in pytest."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.select(
+    agg = li.select(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.lit(0.15) * F.col("exact_parts")
+        ).alias("approx_within_default_rsd"),
+    )
+
+
+@query(
+    "session_window_stats",
+    """WITH flagged AS (
+         SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+         FROM events),
+       sess AS (
+         SELECT *, SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged)
+       SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start_s,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM sess GROUP BY user_id, sid""",
+)
+def q_session_window_stats(spark, sf_dir):
+    """Per-session stats via Spark's PURPOSE-BUILT session_window operator
+    (gap-merged event-time sessions — the same operator works under
+    watermarks in streaming). Boundary semantics verified: a gap of
+    exactly 30:00 merges; strictly greater splits — identical to the
+    lag-based SQL oracle's `> INTERVAL 30 MINUTE`."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("sw")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start_s"
+            ),
+            "n_events",
+            "sum_value",
+        )
     )
 
 
