@@ -39,24 +39,51 @@ def extract_update_images(pages: DataFrame) -> DataFrame:
     )
 
 
+def extract_cdc_rows(pages: DataFrame) -> DataFrame:
+    """Full CRUD feed: update rows carry their after-image, delete rows a
+    tombstone flag — the WRITE/UPDATE/DELETE_ROWS consumption set."""
+    ev = with_attrs(parse_events(with_host(pages))).where(
+        F.col("event_type").isin("update", "delete")
+    )
+    return ev.select(
+        F.col("attrs")["k1"].cast("long").alias("doc_id"),
+        F.col("seq").cast("long").alias("seq"),
+        F.col("attrs")["new"].cast("long").alias("new_img"),
+        F.col("attrs")["old"].cast("long").alias("old_img"),
+        (F.col("event_type") == "delete").alias("deleted"),
+    )
+
+
 def start_cdc_stream(
     spark: SparkSession,
     pages_path: str,
     table_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
+    apply_deletes: bool = False,
 ) -> StreamingQuery:
     pages = stream_pages(spark, pages_path, max_files_per_trigger)
 
     def process_batch(batch_df, batch_id: int) -> None:
         # column order matters: _dedupe_updates breaks intra-batch key ties
         # by max struct(non-key cols), so seq leads → max-seq image wins
-        upd = extract_update_images(batch_df).select(
-            "doc_id", "seq", "new_img", "old_img"
-        )
-        merge_upsert(
-            batch_df.sparkSession, table_dir, upd, ["doc_id"], batch_id=int(batch_id)
-        )
+        # (a key's latest event decides: update upserts, delete tombstones)
+        if apply_deletes:
+            rows = extract_cdc_rows(batch_df).select(
+                "doc_id", "seq", "deleted", "new_img", "old_img"
+            )
+            merge_upsert(
+                batch_df.sparkSession, table_dir, rows, ["doc_id"],
+                batch_id=int(batch_id), delete_col="deleted",
+            )
+        else:
+            upd = extract_update_images(batch_df).select(
+                "doc_id", "seq", "new_img", "old_img"
+            )
+            merge_upsert(
+                batch_df.sparkSession, table_dir, upd, ["doc_id"],
+                batch_id=int(batch_id),
+            )
 
     return (
         pages.writeStream.foreachBatch(process_batch)
@@ -72,8 +99,10 @@ def run_cdc_stream_to_completion(
     table_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
+    apply_deletes: bool = False,
 ) -> None:
     q = start_cdc_stream(
-        spark, pages_path, table_dir, checkpoint_dir, max_files_per_trigger
+        spark, pages_path, table_dir, checkpoint_dir, max_files_per_trigger,
+        apply_deletes=apply_deletes,
     )
     q.awaitTermination()
