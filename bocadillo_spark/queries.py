@@ -935,6 +935,66 @@ def q_session_window_stats(spark, sf_dir):
     )
 
 
+@query(
+    "value_rank_distribution",
+    """SELECT user_id,
+              round(percent_rank() OVER (ORDER BY total, user_id), 6) AS pct_rank,
+              round(cume_dist() OVER (ORDER BY total, user_id), 6) AS cume
+       FROM (
+         SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS total
+         FROM events GROUP BY user_id
+       )""",
+)
+def q_value_rank_distribution(spark, sf_dir):
+    """Rank-distribution windows (percent_rank + cume_dist) over per-user
+    decimal-exact totals — integer tiebreak makes both exact across
+    engines (the rank inputs are identical, the ratios are int/int)."""
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
+    )
+    w = W.orderBy(F.asc("total"), F.asc("user_id"))
+    return totals.select(
+        "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "edit_distance_planted",
+    """SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+              CAST(levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS BIGINT)
+                AS edit_dist
+       FROM documents a
+       JOIN (
+         SELECT doc_id + 500000 AS doc_id, text || ' zz yy' AS text
+         FROM documents WHERE doc_id % 10 = 0
+       ) b ON b.doc_id = a.doc_id + 500000""",
+)
+def q_edit_distance_planted(spark, sf_dir):
+    """Edit-distance near-dup verify (the third verify kernel next to
+    Jaccard and cosine): native levenshtein between each doc and its
+    planted variant, windowed to a 120-char prefix (Levenshtein is
+    O(n*m) — at corpus scale you run it only on LSH candidates and only
+    over bounded windows)."""
+    from .operators.dedup import NEAR_DUP_STRIDE, augment_with_near_dups
+
+    docs = augment_with_near_dups(_t(spark, sf_dir, "documents"))
+    a = docs.where(F.col("doc_id") < NEAR_DUP_STRIDE).select(
+        F.col("doc_id").alias("doc_id_a"), F.substring("text", 1, 120).alias("ta")
+    )
+    b = docs.where(F.col("doc_id") >= NEAR_DUP_STRIDE).select(
+        F.col("doc_id").alias("doc_id_b"), F.substring("text", 1, 120).alias("tb")
+    )
+    pairs = a.join(b, F.col("doc_id_b") == F.col("doc_id_a") + NEAR_DUP_STRIDE)
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+    )
+
+
 # ----------------------------------------------- training-data operators
 
 
