@@ -948,7 +948,14 @@ def q_session_window_stats(spark, sf_dir):
 def q_value_rank_distribution(spark, sf_dir):
     """Rank-distribution windows (percent_rank + cume_dist) over per-user
     decimal-exact totals — integer tiebreak makes both exact across
-    engines (the rank inputs are identical, the ratios are int/int)."""
+    engines (the rank inputs are identical, the ratios are int/int).
+
+    Scale note: an unpartitioned window is a single task — fine here
+    because it runs over the AGGREGATED per-user table (users ≪ events),
+    the same shape as the global top-k queries. For a billion-row ranked
+    table, swap to the two-pass form: rangepartition sort, per-partition
+    counts collected to the driver, then rank = partition_offset +
+    local_row_number (no global window)."""
     ev = _t(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
