@@ -1002,6 +1002,94 @@ def q_edit_distance_planted(spark, sf_dir):
     )
 
 
+@query(
+    "stratified_sample_split",
+    """WITH keyed AS (
+         SELECT lang,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+           len(string_split(text, ' ')) AS n_tokens
+         FROM documents),
+       sampled AS (
+         SELECT lang, n_tokens, h,
+           CASE WHEN h < '10000000' THEN 'val'
+                WHEN h < '20000000' THEN 'test'
+                ELSE 'train' END AS split
+         FROM keyed
+         WHERE h < CASE lang WHEN 'en' THEN 'cccccccc'
+                             WHEN 'de' THEN '80000000'
+                             ELSE '40000000' END)
+       SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       FROM sampled GROUP BY lang, split""",
+)
+def q_stratified_sample_split(spark, sf_dir):
+    """Deterministic corpus sampling + train/val/test split — the
+    production idiom: a content-stable hash of the key (md5 hex prefix,
+    compared as a STRING so both engines agree byte-for-byte) gates
+    per-language sampling rates (en 80%, de 50%, rest 25%) and carves
+    fixed val/test slices. No RNG: reruns, backfills, and incremental
+    arrivals all land each doc in the same split — exactly why real
+    pipelines hash-sample instead of rand()."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    rate = (
+        F.when(F.col("lang") == "en", F.lit("cccccccc"))
+        .when(F.col("lang") == "de", F.lit("80000000"))
+        .otherwise(F.lit("40000000"))
+    )
+    split = (
+        F.when(h < "10000000", F.lit("val"))
+        .when(h < "20000000", F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    kept = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        h.alias("h"),
+        split.alias("split"),
+    ).where(F.col("h") < rate)
+    return kept.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
+    "data_quality_report",
+    """SELECT 'value' AS col,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+              CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+              CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+              CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(sum(CASE WHEN event_type NOT IN
+                   ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_bad_type
+       FROM events""",
+)
+def q_data_quality_report(spark, sf_dir):
+    """Expectation-style data-quality report (the validation pass every
+    ingest runs before publishing a partition): null counts, range
+    violations, domain violations, cardinality — ONE scan, all native
+    conditional aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.lit("value").alias("col"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).cast("long").alias("n_negative"),
+        F.min(F.col("value").cast("decimal(18,2)")).cast("double").alias("min_v"),
+        F.max(F.col("value").cast("decimal(18,2)")).cast("double").alias("max_v"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin("click", "view", "purchase", "signup"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_bad_type"),
+    )
+
+
 # ----------------------------------------------- training-data operators
 
 
