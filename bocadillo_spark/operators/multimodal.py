@@ -62,6 +62,47 @@ def byte_histogram(df: DataFrame, payload_col: str = "html") -> DataFrame:
     )
 
 
+FRAME_SCHEMA = "url string, frame_idx int, frame_off long, frame_hash string"
+FRAME_BYTES = 64  # fake "frame" granularity
+
+
+def _frame_batches(every_n: int):
+    import hashlib
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, idxs, offs, hashes = [], [], [], []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                if not payload:
+                    continue
+                n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                for k, f in enumerate(range(0, n_frames, every_n)):
+                    off = f * FRAME_BYTES
+                    chunk = payload[off : off + FRAME_BYTES]
+                    urls.append(url)
+                    idxs.append(k)
+                    offs.append(off)
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"url": urls, "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_off": offs, "frame_hash": hashes}
+            )
+
+    return fn
+
+
+def sample_frames_df(df: DataFrame, payload_col: str = "html", every_n: int = 4) -> DataFrame:
+    """Frame-sampling PLUMBING over an opaque binary column: one payload →
+    N sampled-frame rows (every_n-th fixed-size block, fingerprinted) —
+    the mapInPandas fan-out shape a real video pipeline uses, with a
+    deterministic fake in place of the ffmpeg decode (sample_frames above
+    is the clearly-marked codec seam). Arrow batches stream, so one huge
+    payload never pins a whole partition in memory."""
+    return df.select("url", F.col(payload_col).alias("payload")).mapInPandas(
+        _frame_batches(every_n), FRAME_SCHEMA
+    )
+
+
 def media_metadata(df: DataFrame, payload_col: str = "html", media_type: str = "text/html") -> DataFrame:
     """Typed metadata projection over a binary column — native only."""
     return df.select(

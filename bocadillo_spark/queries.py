@@ -1499,6 +1499,18 @@ def q_server_version_number(spark, sf_dir):
     )
 
 
+@query("frame_sample")
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plumbing: one binary payload → N sampled
+    fixed-size 'frames' with offsets and fingerprints (deterministic fake
+    codec behind the ffmpeg seam). Rows-only: frame bytes aren't
+    SQL-reachable; pytest checks the kernel against a scalar slice."""
+    from .operators.multimodal import sample_frames_df
+
+    pages = synth_pages(spark, sf_dir)
+    return sample_frames_df(pages, "html", every_n=4)
+
+
 @query(
     "media_metadata",
     f"""WITH {pages_cte_sql()}

@@ -91,6 +91,25 @@ def test_byte_histogram_matches_numpy(spark, sf_dir):
             assert hist == [0] * 16
 
 
+def test_frame_sample_matches_scalar(spark, sf_dir):
+    import hashlib
+
+    pages = synth_pages(spark, sf_dir).limit(10)
+    got = {}
+    for r in multimodal.sample_frames_df(pages, "html", every_n=4).collect():
+        got.setdefault(r["url"], []).append((r["frame_idx"], r["frame_off"], r["frame_hash"]))
+    for r in pages.select("url", "html").collect():
+        payload = r["html"] or b""
+        want = []
+        if payload:
+            FB = multimodal.FRAME_BYTES
+            n_frames = (len(payload) + FB - 1) // FB
+            for k, f in enumerate(range(0, n_frames, 4)):
+                off = f * FB
+                want.append((k, off, hashlib.md5(payload[off : off + FB]).hexdigest()))
+        assert sorted(got.get(r["url"], [])) == sorted(want), r["url"]
+
+
 def test_media_metadata_and_stubs(spark, sf_dir):
     pages = synth_pages(spark, sf_dir).limit(50)
     meta = multimodal.media_metadata(pages, "html").collect()
