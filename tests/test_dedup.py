@@ -117,6 +117,20 @@ def test_simhash_near_dups(spark, sf_dir):
     assert len(planted_hits) > 0
 
 
+def test_minhash_pairs_invariant_to_partitioning(spark, sf_dir):
+    """LSH output must be a pure function of the DATA — identical pair sets
+    regardless of physical partitioning (catches accidental use of
+    partition-dependent state in the signature/band path)."""
+    base = augment_with_near_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    )
+    sets = []
+    for nparts in (1, 7):
+        pairs = minhash_dedup_pairs(base.repartition(nparts), threshold=0.8)
+        sets.append({(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()})
+    assert sets[0] == sets[1] and len(sets[0]) > 0
+
+
 def test_minhash_bucket_cap_guards_degenerate_buckets(spark):
     """60 identical docs would make every band bucket quadratic; the cap
     drops them (reported via oversized_buckets) while exact_dedup — which
