@@ -63,33 +63,42 @@ def lang_id_kernel(text: str) -> tuple[str, float]:
     return best, best_score
 
 
-def _langid_score_cols(text_col):
-    """Per-language score expressions (shared by lang_id and its oracle
-    generator): hits/n_tokens as an exact int/int double division."""
-    toks = F.filter(F.split(F.coalesce(text_col, F.lit("")), " "), lambda x: x != "")
-    n_safe = F.greatest(F.size(toks), F.lit(1)).cast("double")
+def _langid_score_cols(toks_col):
+    """Per-language score expressions over a MATERIALIZED tokens column
+    (hits/n_tokens as an exact int/int double division). Callers stage the
+    token filter once — the scores reference it ~8x each (6 langs + argmax
+    + CASE), and a multiply-referenced expensive expression is exactly
+    what Catalyst keeps as its own projection."""
+    n_safe = F.greatest(F.size(toks_col), F.lit(1)).cast("double")
+
     def member_pred(prof):
         return lambda x: x.isin(*prof)
 
     scores = {}
     for lang in LANGS_SORTED:
-        hits = F.size(F.filter(toks, member_pred(sorted(LANG_PROFILES[lang]))))
+        hits = F.size(F.filter(toks_col, member_pred(sorted(LANG_PROFILES[lang]))))
         scores[lang] = hits.cast("double") / n_safe
     return scores
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-profile language heuristic — fully native (token filter +
-    per-profile membership counts + CASE argmax, whole-stage codegen; the
-    round-1 per-row Python loop is gone). Ties → earliest lang in sorted
-    order; all-zero → 'und'. Exact under the DuckDB oracle because every
-    score is an int/int double division."""
-    scores = _langid_score_cols(F.col("text"))
+    per-profile membership counts + CASE argmax; the round-1 per-row
+    Python loop is gone). Ties → earliest lang in sorted order; all-zero →
+    'und'. Exact under the DuckDB oracle because every score is an int/int
+    double division."""
+    staged = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""
+        ).alias("toks"),
+    )
+    scores = _langid_score_cols(F.col("toks"))
     best = F.greatest(*scores.values())
     pred = F.when(best <= F.lit(0.0), F.lit("und"))
     for lang in LANGS_SORTED:
         pred = pred.when(scores[lang] == best, F.lit(lang))
-    return docs.select(
+    return staged.select(
         "doc_id", pred.otherwise(F.lit("und")).alias("pred_lang"), best.alias("score")
     )
 
