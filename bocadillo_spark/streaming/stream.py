@@ -27,7 +27,12 @@ def start_pipeline_stream(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
+    """processing_time=None → availableNow (bounded snapshot run, the test
+    default); processing_time='1 second' → long-lived micro-batch trigger
+    (T6 liveness: keeps polling for new files, empty batches are normal,
+    late-arriving files are processed without a restart)."""
     pages = stream_pages(spark, pages_path, max_files_per_trigger)
 
     def process_batch(batch_df, batch_id: int) -> None:
@@ -37,12 +42,14 @@ def start_pipeline_stream(
         routed = route(parse_events(with_host(batch_df)), dim)
         write_fanout(routed, out_dir, batch_id=batch_id)
 
-    return (
-        pages.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = pages.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def run_stream_to_completion(

@@ -132,6 +132,54 @@ def test_fanout_replay_is_idempotent(spark, sf_dir):
         assert len(read_manifests(out)) == 1  # manifest overwritten, not duplicated
 
 
+def test_processing_time_trigger_liveness(spark, sf_dir):
+    """T6 liveness with a LONG-LIVED trigger: files that arrive while the
+    query is RUNNING are picked up without any restart; empty polls in
+    between are normal. (The availableNow tests cover the bounded-snapshot
+    semantics; this covers the keep-polling one.)"""
+    import os
+    import tempfile
+    import time
+
+    with tempfile.TemporaryDirectory() as tmp:
+        staged = f"{tmp}/staged"
+        live = f"{tmp}/live"
+        os.makedirs(live)
+        write_pages(spark, sf_dir, staged, num_partitions=6)
+        parts = sorted(
+            f for f in os.listdir(staged) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        for f in parts[: len(parts) // 2]:
+            os.link(f"{staged}/{f}", f"{live}/{f}")
+
+        expected_total = sum(_expected_counts(spark, sf_dir).values())
+        q = start_pipeline_stream(
+            spark, live, f"{tmp}/out", f"{tmp}/ckpt",
+            max_files_per_trigger=2, processing_time="1 second",
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and len(read_manifests(f"{tmp}/out")) < 1:
+                time.sleep(0.5)
+            assert len(read_manifests(f"{tmp}/out")) >= 1
+
+            # the rest of the corpus arrives while the query is live
+            for f in parts[len(parts) // 2 :]:
+                os.link(f"{staged}/{f}", f"{live}/{f}")
+
+            def committed_total():
+                return sum(m["total"] for m in read_manifests(f"{tmp}/out"))
+
+            deadline = time.time() + 120
+            while time.time() < deadline and committed_total() < expected_total:
+                time.sleep(0.5)
+            assert committed_total() == expected_total
+        finally:
+            q.stop()
+        got = _counts_dict(read_sink_counts(spark, f"{tmp}/out"))
+        assert got == _expected_counts(spark, sf_dir)
+
+
 def test_streaming_picks_up_late_arriving_files(spark, sf_dir):
     """Rotate analog (T3): files that appear AFTER the stream starts are
     discovered and processed; final counts equal the batch pipeline."""
