@@ -39,6 +39,43 @@ def sample_frames(payload: bytes, every_n: int = 10) -> list[bytes]:
     raise NotImplementedError("video frame sampling requires ffmpeg — not in this container")
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: real impl is PIL Image.resize after decode_image. The
+    Spark-side plumbing is exercised with thumbnail_fake below."""
+    raise NotImplementedError("image resize requires PIL/opencv — not in this container")
+
+
+def thumbnail_fake(payload: bytes, stride: int = 16) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: every
+    `stride`-th byte. Keeps the resize PLUMBING (batch shape, output
+    column typing, size accounting) real and testable where the codec
+    seam above would slot in."""
+    return payload[::stride]
+
+
+THUMB_SCHEMA = "url string, n_bytes long, thumb binary"
+
+
+def _thumb_batches(stride: int):
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs = [
+                thumbnail_fake(p, stride) if p else b"" for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"url": pdf["url"], "n_bytes": [len(t) for t in thumbs], "thumb": thumbs}
+            )
+
+    return fn
+
+
+def thumbnails(df: DataFrame, payload_col: str = "html", stride: int = 16) -> DataFrame:
+    """Resize plumbing over an opaque binary column (fake codec)."""
+    return df.select("url", F.col(payload_col).alias("payload")).mapInPandas(
+        _thumb_batches(stride), THUMB_SCHEMA
+    )
+
+
 def _hist_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         hists, sizes = [], []

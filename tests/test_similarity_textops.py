@@ -121,6 +121,14 @@ def test_media_metadata_and_stubs(spark, sf_dir):
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"\x00\x00")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"\x89PNG", 64, 64)
+    # resize plumbing with the deterministic fake codec
+    thumbs = {r["url"]: (r["n_bytes"], bytes(r["thumb"]))
+              for r in multimodal.thumbnails(pages, "html", stride=16).collect()}
+    for r in pages.select("url", "html").collect():
+        want = (r["html"] or b"")[::16]
+        assert thumbs[r["url"]] == (len(want), want)
 
 
 def test_build_html_golden():
