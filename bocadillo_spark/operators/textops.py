@@ -2,9 +2,14 @@
 document fingerprinting — the training-data-pipeline layer over
 `documents`/pages.
 
-Token counting and quality ratios are pure native expressions (codegen);
-language-ID and the rolling fingerprint are Arrow-batched UDFs backed by
-the same pure-Python kernels their pytest oracles call.
+Everything here is native expressions (no Python workers anywhere):
+token counting and quality ratios are plain column exprs; language-ID is
+a staged token filter + profile-membership counts + CASE argmax;
+fingerprinting is a codepoint polynomial fold. The one exception is
+zscore_per_user, which deliberately demonstrates the grouped-map
+applyInPandas surface. lang_id_kernel / hashing.rolling_fingerprint are
+the scalar pytest twins; the DuckDB oracle generators live alongside so
+Spark and SQL can't drift.
 """
 
 from __future__ import annotations
