@@ -936,6 +936,41 @@ def q_session_window_stats(spark, sf_dir):
 
 
 @query(
+    "range_join_value_bands",
+    """WITH bands(band, lo, hi) AS (
+         VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0),
+                ('high', 200.0, 1000.0), ('whale', 1000.0, 1e18)
+       )
+       SELECT b.band, CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+       GROUP BY b.band""",
+)
+def q_range_join_value_bands(spark, sf_dir):
+    """Range/interval join: events matched to value bands via a
+    broadcast non-equi join (the honest range-join plan when the interval
+    dim is small — BroadcastNestedLoop over a 4-row side costs one scan).
+    The plan-equivalent NATIVE path for huge band tables — compute the
+    band with a CASE/width_bucket expression instead of a join — is
+    asserted equal in pytest; this query keeps the true join so the
+    non-equi shape itself is driver-graded."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0),
+         ("high", 200.0, 1000.0), ("whale", 1000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
     "value_rank_distribution",
     """SELECT user_id,
               round(percent_rank() OVER (ORDER BY total, user_id), 6) AS pct_rank,

@@ -97,6 +97,36 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
     assert df.count() == want
 
 
+def test_range_join_equals_native_band_expr(spark, sf_dir):
+    """The broadcast non-equi range join and the native CASE band compute
+    must agree exactly — the two implementations of banded lookup (join
+    when the interval dim is data, expression when it is static)."""
+    from bocadillo_spark.queries import QUERIES
+
+    joined = {
+        (r["band"], r["n"], r["sum_value"])
+        for r in QUERIES["range_join_value_bands"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    band = (
+        F.when(F.col("value") < 50.0, "low")
+        .when(F.col("value") < 200.0, "mid")
+        .when(F.col("value") < 1000.0, "high")
+        .otherwise("whale")
+    )
+    native = {
+        (r["band"], r["n"], r["sum_value"])
+        for r in ev.where(F.col("value") >= 0)
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert joined == native and len(joined) > 0
+
+
 def test_filter_pushdown_to_scan(spark, sf_dir, tmp_path):
     path = str(tmp_path / "pages2")
     synth_pages(spark, sf_dir).write.parquet(path)
