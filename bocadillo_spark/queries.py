@@ -894,6 +894,37 @@ def q_approx_distinct(spark, sf_dir):
 
 
 @query(
+    "approx_quantiles_contract",
+    """SELECT round(quantile_cont(value, 0.5), 6) AS p50_exact,
+              round(quantile_cont(value, 0.9), 6) AS p90_exact,
+              true AS p50_ok, true AS p90_ok
+       FROM events""",
+)
+def q_approx_quantiles_contract(spark, sf_dir):
+    """percentile_approx (KLL-style sketch) graded like the HLL query: the
+    exact interpolated quantiles cross-check DuckDB's quantile_cont, and
+    the sketch is graded on its accuracy CONTRACT (approx within 2% of
+    exact at accuracy=10000) — the property a monitoring pipeline actually
+    depends on."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.9)").alias("p90_exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90_approx"),
+    )
+    tol = 0.02
+    return agg.select(
+        F.round("p50_exact", 6).alias("p50_exact"),
+        F.round("p90_exact", 6).alias("p90_exact"),
+        (F.abs(F.col("p50_approx") - F.col("p50_exact"))
+         <= F.lit(tol) * F.abs(F.col("p50_exact"))).alias("p50_ok"),
+        (F.abs(F.col("p90_approx") - F.col("p90_exact"))
+         <= F.lit(tol) * F.abs(F.col("p90_exact"))).alias("p90_ok"),
+    )
+
+
+@query(
     "session_window_stats",
     """WITH flagged AS (
          SELECT user_id, ts, value,
