@@ -60,7 +60,16 @@ def table_history(table_dir: str) -> list[dict]:
 
 
 def _committed_batch_ids(table_dir: str) -> set:
-    return {m["batch_id"] for m in table_history(table_dir) if m.get("batch_id") is not None}
+    """Only batches at or below the POINTER are committed: metadata json is
+    written before the pointer swap, so a crash in between leaves an
+    orphaned metadata file whose batch must NOT be treated as applied (its
+    replay re-runs and overwrites the same version — idempotent)."""
+    latest = current_version(table_dir)
+    return {
+        m["batch_id"]
+        for m in table_history(table_dir)
+        if m.get("batch_id") is not None and m["version"] <= latest
+    }
 
 
 def read_table(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
@@ -131,6 +140,11 @@ def merge_upsert(
 
     parent = current_version(table_dir)
     if parent == 0:
+        if updates.isEmpty():
+            # nothing to create: an empty parquet dir is unreadable (no
+            # schema), and an empty batch needn't consume a version —
+            # replaying it later is naturally a no-op
+            return {"version": 0, "batch_id": batch_id, "empty_noop": True}
         merged = ups
         op = "create"
     else:

@@ -122,6 +122,42 @@ def test_cdc_stream_resume_exactly_once(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_crash_between_metadata_and_pointer_replays(spark, tmp_path):
+    """Metadata json lands BEFORE the pointer swap; a crash in between must
+    NOT make the replayed batch look committed — it re-applies and
+    overwrites the orphaned version."""
+    import json
+    import os
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame([("u1", 1, "a")], "url string, doc_id long, state string")
+    merge_upsert(spark, t, base, ["url"], batch_id=1)
+
+    # simulate the crash: orphaned v2 metadata, pointer still at v1
+    orphan = {"version": 2, "parent": 1, "operation": "merge", "batch_id": 2,
+              "key": ["url"], "row_count": 999, "schema": "x"}
+    with open(os.path.join(t, "_snapshots", "v000002.json"), "w") as f:
+        json.dump(orphan, f)
+    assert current_version(t) == 1
+
+    upd = spark.createDataFrame([("u2", 2, "b")], "url string, doc_id long, state string")
+    m = merge_upsert(spark, t, upd, ["url"], batch_id=2)  # replay of the "crashed" batch
+    assert not m.get("skipped_replay"), "orphaned metadata must not suppress the replay"
+    assert (m["version"], m["row_count"]) == (2, 2)
+    assert _rows(spark, t) == [("u1", 1, "a"), ("u2", 2, "b")]
+
+
+def test_empty_create_is_noop(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    empty = spark.createDataFrame([], "url string, doc_id long, state string")
+    m = merge_upsert(spark, t, empty, ["url"], batch_id=1)
+    assert m.get("empty_noop") and current_version(t) == 0
+    # the same batch_id applied later WITH data must not be suppressed
+    base = spark.createDataFrame([("u1", 1, "a")], "url string, doc_id long, state string")
+    m2 = merge_upsert(spark, t, base, ["url"], batch_id=1)
+    assert m2["version"] == 1 and _rows(spark, t) == [("u1", 1, "a")]
+
+
 def test_compact_and_expire_snapshots(spark, tmp_path):
     """Compaction rewrites the current snapshot data-identically into fewer
     files; expiry GCs old snapshot data while keeping commit history."""
