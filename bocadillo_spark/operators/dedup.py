@@ -277,6 +277,75 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return hashed.select("doc_id", sig.alias("simhash"))
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs (doc_id_a, doc_id_b) →
+    (doc_id, component) with component = min doc_id reachable — the
+    cluster step a real dedup pipeline runs after pair generation (keep
+    ONE representative per component, not per pair).
+
+    Iterative min-label propagation: labels converge in O(diameter)
+    rounds, each one join + groupBy-min (alternating large-small
+    propagation doubles coverage per round). Deterministic; loop runs on
+    the driver but every round is a distributed shuffle — the standard
+    Spark shape for iterative graph algorithms without GraphFrames. Rounds
+    are bounded by max_iters with an early-exit convergence check on
+    counts of changed labels (cheap aggregate per round)."""
+    edges = (
+        pairs.select(
+            F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    ).cache()
+    for _ in range(max_iters):
+        # neighbor's current label, take the min of own and neighbors'
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .select(F.col("src").alias("doc_id"), "component")
+        )
+        prop = (
+            labels.select("doc_id", "component")
+            .unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: component := label(component) — halves chain
+        # depth every round, so convergence is O(log diameter), not
+        # O(diameter)
+        parent = prop.select(
+            F.col("doc_id").alias("component"), F.col("component").alias("comp2")
+        )
+        new_labels = (
+            prop.join(parent, "component", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("comp2"), F.col("component"))
+                ).alias("component"),
+            )
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Block on 4 x 16-bit chunks (pigeonhole: hamming ≤3 ⇒ ≥1 chunk equal),
     verify Hamming on candidates — all native bit ops, no UDF. No persist

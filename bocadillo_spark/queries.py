@@ -1271,6 +1271,83 @@ def q_dedup_simhash(spark, sf_dir):
 from .operators.textops import fingerprint_oracle_sql, langid_oracle_sql  # noqa: E402
 
 
+@query(
+    "dedup_clusters",
+    """WITH RECURSIVE m10 AS (
+         SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+       ),
+       pairs AS (
+         SELECT a.doc_id AS s, b.doc_id AS t
+         FROM m10 a JOIN m10 b ON b.doc_id = a.doc_id + 10
+         WHERE a.doc_id % 100 <> 90
+       ),
+       edges AS (SELECT s, t FROM pairs UNION SELECT t, s FROM pairs),
+       reach(a, b) AS (
+         SELECT s, t FROM edges
+         UNION
+         SELECT r.a, e.t FROM reach r JOIN edges e ON e.s = r.b
+       )
+       SELECT a AS doc_id, CAST(least(min(b), a) AS BIGINT) AS component
+       FROM reach GROUP BY a""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over a near-dup pair graph — the CLUSTER step
+    a dedup pipeline runs after pair generation (keep one representative
+    per component, not per pair). Pair fixture: chains of consecutive
+    multiples of 10 within each century → multi-hop components the
+    propagation must actually traverse. Spark side is iterative min-label
+    propagation with pointer jumping (O(log diameter) shuffled rounds);
+    the oracle computes the same components with a recursive CTE."""
+    from .operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m10 = docs.where(F.col("doc_id") % 10 == 0)
+    a = m10.select(F.col("doc_id").alias("doc_id_a"))
+    b = m10.select(F.col("doc_id").alias("doc_id_b"))
+    pairs = a.join(
+        b,
+        (F.col("doc_id_b") == F.col("doc_id_a") + 10)
+        & (F.col("doc_id_a") % 100 != 90),
+    )
+    return connected_components(pairs).select(
+        "doc_id", F.col("component").cast("long").alias("component")
+    )
+
+
+@query(
+    "token_budget_cut",
+    """WITH t AS (
+         SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT *, SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+         FROM t)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       FROM c WHERE cum <= 5000 GROUP BY lang""",
+)
+def q_token_budget_cut(spark, sf_dir):
+    """Token-budgeted corpus selection: take documents per language in a
+    deterministic order until the running token total hits the budget —
+    the 'N tokens per language' cut every training-mix pipeline makes.
+    One window cumsum per language partition, then filter; at 100 TB the
+    per-lang partitions sort-shuffle once."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    cut = (
+        docs.select("lang", "doc_id", n_tok.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .where(F.col("cum") <= 5000)
+    )
+    return cut.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 @query("doc_fingerprint", fingerprint_oracle_sql())
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling polynomial hash (codepoints, mod 2^31-1) per document —

@@ -117,6 +117,23 @@ def test_simhash_near_dups(spark, sf_dir):
     assert len(planted_hits) > 0
 
 
+def test_connected_components_multihop(spark):
+    """Chain, triangle, and isolated pair — every node must get the min
+    reachable id even across multi-hop paths (pointer jumping must
+    actually converge)."""
+    from bocadillo_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5-6-7-8 (diameter 7), triangle 20-21-22, pair 30-31
+        [(i, i + 1) for i in range(1, 8)]
+        + [(20, 21), (21, 22), (20, 22), (30, 31)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {**{i: 1 for i in range(1, 9)},
+                   **{i: 20 for i in (20, 21, 22)}, 30: 30, 31: 30}
+
+
 def test_minhash_pairs_invariant_to_partitioning(spark, sf_dir):
     """LSH output must be a pure function of the DATA — identical pair sets
     regardless of physical partitioning (catches accidental use of
