@@ -126,6 +126,50 @@ def q_route_counts_streaming(spark, sf_dir):
     )
 
 
+@query(
+    "sink_reconciliation",
+    f"""{_PIPE_CTES}
+    SELECT sink_id, event_type, CAST(count(*) AS BIGINT) AS n,
+           true AS manifest_match
+    FROM routed GROUP BY sink_id, event_type""",
+)
+def q_sink_reconciliation(spark, sf_dir):
+    """Lineage manifests graded against the analytic SQL truth: per-sink
+    counts from the WRITTEN DATA must equal both the manifest totals (the
+    footer-stats lineage record) and the oracle's routed CTE — the
+    reconciliation check an operator runs before trusting a day's output."""
+    from collections import defaultdict
+
+    from .plans.sinks import read_manifests, read_sink_counts
+    from .streaming.stream import run_stream_to_completion
+
+    pages_dir, root = _stream_workspace(spark, sf_dir)
+    out_dir = f"{root}/out"
+    run_stream_to_completion(
+        spark, pages_dir, out_dir, f"{root}/ckpt", max_files_per_trigger=3
+    )
+    manifest_counts: dict[tuple[str, str], int] = defaultdict(int)
+    for m in read_manifests(out_dir):
+        for key, n in m["sink_counts"].items():
+            sink, et = key.split("/", 1)
+            manifest_counts[(sink, et)] += n
+    mdf = spark.createDataFrame(
+        [(s, e, n) for (s, e), n in sorted(manifest_counts.items())],
+        "sink_id string, event_type string, n_manifest long",
+    )
+    data = read_sink_counts(spark, out_dir).select(
+        "sink_id", "event_type", F.col("n").cast("long").alias("n")
+    )
+    return data.join(mdf, ["sink_id", "event_type"], "left").select(
+        "sink_id",
+        "event_type",
+        "n",
+        (F.col("n") == F.coalesce(F.col("n_manifest"), F.lit(-1))).alias(
+            "manifest_match"
+        ),
+    )
+
+
 def _stream_workspace(spark, sf_dir: str) -> tuple[str, str]:
     """Materialized streaming-input pages + a state root, cached under a
     content fingerprint of the source parquet (path + per-file size/mtime)
