@@ -764,6 +764,31 @@ def q_intersect(spark, sf_dir):
 
 
 @query(
+    "variant_props_stats",
+    """SELECT CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+              CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+              CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events WHERE props IS NOT NULL""",
+)
+def q_variant_props_stats(spark, sf_dir):
+    """Semi-structured JSON via Spark 4's VariantType: parse_json once into
+    the binary variant encoding, then typed variant_get extraction — the
+    engine-native successor to get_json_object for schema-on-read columns
+    (the reference's binary-JSON tree walk, mysql/json.go:43-473, maps to
+    exactly this encode-once/extract-many shape)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return v.agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "props_key_counts",
     """SELECT k, CAST(count(*) AS BIGINT) AS n
        FROM (SELECT unnest(json_keys(props)) AS k FROM events)
