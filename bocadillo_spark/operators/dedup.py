@@ -245,14 +245,25 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
+def _bit_masks() -> Column:
+    """array<long> of the 64 single-bit masks (bit 63 = long sign bit).
+    Built lazily — Column literals need an active SparkContext."""
+    return F.array(
+        *[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash, fully native: token hashes materialized once
-    (xxhash64 per token), then 64 per-bit majority tallies — each an
-    aggregate fold over the hash array, OR-composed into one LongType bit
-    pattern. Term-frequency weighted (duplicate tokens kept). Exactly
-    mirrors the hashing.simhash64 scalar twin (pytest-verified value for
-    value): bit i set iff strictly more than half the token hashes have
-    bit i set."""
+    """64-bit SimHash, fully native AND single-pass: token hashes
+    materialized once (xxhash64 per token), then ONE aggregate fold whose
+    accumulator is an array<long> of 64 per-bit tallies (zip_with against
+    the bit-mask array updates all 64 counters per hash) — O(S·64) work
+    with each token hash scanned exactly once. The previous shape (one
+    fold per bit = 64 scans of the hash array) was a pure constant-factor
+    loss; same move as _signature_from_hashes. Term-frequency weighted
+    (duplicate tokens kept). Exactly mirrors the hashing.simhash64 scalar
+    twin (pytest-verified value for value): bit i set iff strictly more
+    than half the token hashes have bit i set."""
     hashed = docs.select(
         "doc_id",
         F.transform(
@@ -263,18 +274,37 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             lambda t: F.xxhash64(t),
         ).alias("hv"),
     )
-    def bit_tally(i):
-        return lambda acc, h: acc + F.shiftrightunsigned(h, i).bitwiseAND(
-            F.lit(1).cast("long")
-        )
-
-    n = F.size(F.col("hv"))
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        ones = F.aggregate(F.col("hv"), F.lit(0).cast("long"), bit_tally(i))
-        bit = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
-        sig = sig.bitwiseOR(F.when(ones * 2 > n, bit).otherwise(F.lit(0).cast("long")))
-    return hashed.select("doc_id", sig.alias("simhash"))
+    init = F.array_repeat(F.lit(0).cast("long"), 64)
+    masks = _bit_masks()
+    tallied = hashed.select(
+        "doc_id",
+        F.size(F.col("hv")).alias("n"),
+        F.aggregate(
+            F.col("hv"),
+            init,
+            lambda acc, h: F.zip_with(
+                acc,
+                masks,
+                lambda t, m: t
+                + F.when(h.bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+        ).alias("tallies"),
+    )
+    # majority vote per bit, OR-folded into one LongType signature
+    sig = F.aggregate(
+        F.zip_with(
+            F.col("tallies"),
+            _bit_masks(),
+            lambda t, m: F.when(t * 2 > F.col("n"), m).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a.bitwiseOR(b),
+    )
+    return tallied.select("doc_id", sig.alias("simhash"))
 
 
 def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:

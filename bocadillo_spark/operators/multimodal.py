@@ -99,16 +99,28 @@ def byte_histogram(df: DataFrame, payload_col: str = "html") -> DataFrame:
     )
 
 
-FRAME_SCHEMA = "url string, frame_idx int, frame_off long, frame_hash string"
+FRAME_SCHEMA = "url string, frame_idx int, frame_off long, frame_fp long"
 FRAME_BYTES = 64  # fake "frame" granularity
 
 
-def _frame_batches(every_n: int):
-    import hashlib
+def frame_fp(chunk: bytes) -> int:
+    """Frame fingerprint: polynomial byte-fold mod 2^31-1 (same constants
+    as the document fingerprint). Chosen over md5 deliberately: DuckDB 1.0
+    can't md5 raw bytes, but it CAN reproduce this fold from the hex-domain
+    html reconstruction — which is what upgrades frame_sample from a
+    rows-only check to an exact value-level oracle."""
+    from ..functions import hashing as H
 
+    acc = 0
+    for b in chunk:
+        acc = (acc * H.FP_BASE + b) % H.MERSENNE31
+    return acc
+
+
+def _frame_batches(every_n: int):
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            urls, idxs, offs, hashes = [], [], [], []
+            urls, idxs, offs, fps = [], [], [], []
             for url, payload in zip(pdf["url"], pdf["payload"]):
                 if not payload:
                     continue
@@ -119,10 +131,10 @@ def _frame_batches(every_n: int):
                     urls.append(url)
                     idxs.append(k)
                     offs.append(off)
-                    hashes.append(hashlib.md5(chunk).hexdigest())
+                    fps.append(frame_fp(chunk))
             yield pd.DataFrame(
                 {"url": urls, "frame_idx": pd.array(idxs, dtype="int32"),
-                 "frame_off": offs, "frame_hash": hashes}
+                 "frame_off": offs, "frame_fp": fps}
             )
 
     return fn
@@ -138,6 +150,57 @@ def sample_frames_df(df: DataFrame, payload_col: str = "html", every_n: int = 4)
     return df.select("url", F.col(payload_col).alias("payload")).mapInPandas(
         _frame_batches(every_n), FRAME_SCHEMA
     )
+
+
+def byte_histogram_oracle_sql() -> str:
+    """Exact DuckDB oracle for the exploded byte_histogram output
+    (url, bucket, n): reconstruct the html bytes as hex (html_hex_cte_sql),
+    keep the odd-position hex chars (= high nibbles = the bucket of each
+    byte), then count each hex digit via length-difference — all string
+    kernels, no per-byte list materialization. Empty html → 16 zero rows,
+    matching the kernel's [0]*16."""
+    from ..synth import html_hex_cte_sql, pages_cte_sql
+
+    return f"""WITH {pages_cte_sql()}, {html_hex_cte_sql()},
+odd AS (
+  SELECT url, regexp_replace(hexs, '(.)(.)', '\\1', 'g') AS hi FROM html_hex
+)
+SELECT url, CAST(b.bucket AS INT) AS bucket,
+       CAST(length(hi) - length(replace(hi,
+            substr('0123456789ABCDEF', CAST(b.bucket AS INT) + 1, 1), '')) AS BIGINT) AS n
+FROM odd CROSS JOIN (SELECT unnest(generate_series(0, {HIST_BUCKETS - 1})) AS bucket) b"""
+
+
+def frame_sample_oracle_sql(every_n: int = 4) -> str:
+    """Exact DuckDB oracle for sample_frames_df: frame offsets/indices are
+    analytic in the byte length, and the chunk fingerprint is the same
+    polynomial fold evaluated over hex-domain byte values."""
+    from ..functions.hashing import FP_BASE, MERSENNE31
+    from ..synth import html_hex_cte_sql, pages_cte_sql
+
+    hexd = "0123456789ABCDEF"
+    return f"""WITH {pages_cte_sql()}, {html_hex_cte_sql()},
+fr AS (
+  SELECT url, hexs,
+         (length(hexs) // 2 + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS n_frames
+  FROM html_hex WHERE length(hexs) > 0
+), idx AS (
+  SELECT url, hexs, unnest(range(0, (n_frames + {every_n - 1}) // {every_n})) AS k
+  FROM fr
+), ch AS (
+  SELECT url, CAST(k AS INT) AS frame_idx,
+         CAST(k * {every_n * FRAME_BYTES} AS BIGINT) AS frame_off,
+         substr(hexs, CAST(k * {every_n * FRAME_BYTES * 2} + 1 AS BIGINT),
+                {FRAME_BYTES * 2}) AS chex
+  FROM idx
+)
+SELECT url, frame_idx, frame_off,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(chex) // 2 + 1), i ->
+      CAST((strpos('{hexd}', substr(chex, 2 * i - 1, 1)) - 1) * 16
+           + strpos('{hexd}', substr(chex, 2 * i, 1)) - 1 AS BIGINT))),
+    (acc, v) -> (acc * {FP_BASE} + v) % {MERSENNE31}) AS BIGINT) AS frame_fp
+FROM ch"""
 
 
 def media_metadata(df: DataFrame, payload_col: str = "html", media_type: str = "text/html") -> DataFrame:

@@ -192,7 +192,23 @@ def _stream_workspace(spark, sf_dir: str) -> tuple[str, str]:
         st = os.stat(src)
         sig_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
     tag = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"bocadillo_stream_q_{tag}")
+    sf_base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    tmp = tempfile.gettempdir()
+    root = os.path.join(tmp, f"bocadillo_stream_q_{sf_base}_{tag}")
+    # GC stale workspaces: same-sf roots under a different tag (testdata or
+    # grammar changed → unreachable forever) and legacy un-prefixed roots.
+    # Never touches the live tag, other SFs' live roots, or anything outside
+    # this module's naming scheme.
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(tmp, f"bocadillo_stream_q_{sf_base}_*")):
+        if os.path.basename(stale) != os.path.basename(root):
+            shutil.rmtree(stale, ignore_errors=True)
+    import re as _re
+
+    for legacy in _glob.glob(os.path.join(tmp, "bocadillo_stream_q_*")):
+        if _re.fullmatch(r"bocadillo_stream_q_[0-9a-f]{12}", os.path.basename(legacy)):
+            shutil.rmtree(legacy, ignore_errors=True)
     pages_dir = os.path.join(root, "pages")
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         # a partial prior write means all downstream state is untrustworthy
@@ -1309,32 +1325,130 @@ def q_ngram_jaccard_planted(spark, sf_dir):
     return pairs.select("doc_id_a", "doc_id_b", F.round(j, 6).alias("jaccard"))
 
 
-@query("dedup_minhash")
+_MINHASH_PLANTED_SQL = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, text || ' zz yy' FROM documents WHERE doc_id % 10 = 0
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
+      i -> string_split(text,' ')[i] || ' '
+           || coalesce(string_split(text,' ')[i+1],'') || ' '
+           || coalesce(string_split(text,' ')[i+2],''))) AS g
+  FROM aug
+),
+pj AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 500000
+)
+""".strip()
+
+
+@query(
+    "dedup_minhash",
+    f"""WITH {_MINHASH_PLANTED_SQL}
+    SELECT CAST(count(*) AS BIGINT) AS n_planted,
+           min(round(jaccard, 6)) AS min_jaccard,
+           true AS recall_ok
+    FROM pj WHERE jaccard >= 0.8""",
+)
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
-    Jaccard-verify) over documents + planted near-dups. Rows-only check:
-    probabilistic recall has no SQL oracle; pytest verifies planted-pair
-    recall and Jaccard exactness."""
-    from .operators.dedup import augment_with_near_dups, minhash_dedup_pairs
+    """MinHash+LSH near-dup pipeline (shingle→minhash→band→bucket-join→
+    Jaccard-verify) over documents + planted near-dups, graded on its
+    ACCURACY CONTRACT: the oracle enumerates the planted pairs whose exact
+    word-3-gram Jaccard clears the 0.8 threshold (SQL-computable), and the
+    graded boolean asserts the full LSH pipeline recovered ≥95% of them
+    (deterministic: permutation seeds are pinned; with 16 bands x 4 rows
+    the analytic per-pair miss probability at j≥0.8 is ≤2e-4). Pair-level
+    outputs stay pytest-verified (tests/test_dedup.py)."""
+    from .operators.dedup import (
+        NEAR_DUP_STRIDE,
+        augment_with_near_dups,
+        jaccard_col,
+        minhash_dedup_pairs,
+        word_3gram_col,
+    )
 
     docs = augment_with_near_dups(_t(spark, sf_dir, "documents"))
-    return minhash_dedup_pairs(docs, threshold=0.8).select(
-        "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
+    found = minhash_dedup_pairs(docs, threshold=0.8).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("hit")
+    )
+    sh = docs.select("doc_id", word_3gram_col(F.col("text")).alias("g"))
+    a = sh.where(F.col("doc_id") < NEAR_DUP_STRIDE).select(
+        F.col("doc_id").alias("doc_id_a"), F.col("g").alias("ga")
+    )
+    b = sh.where(F.col("doc_id") >= NEAR_DUP_STRIDE).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("g").alias("gb")
+    )
+    planted = a.join(b, F.col("doc_id_b") == F.col("doc_id_a") + NEAR_DUP_STRIDE).select(
+        "doc_id_a", "doc_id_b", jaccard_col(F.col("ga"), F.col("gb")).alias("jaccard")
+    )
+    eligible = planted.where(F.col("jaccard") >= 0.8)
+    return eligible.join(found, ["doc_id_a", "doc_id_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted"),
+        F.min(F.round("jaccard", 6)).alias("min_jaccard"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            >= F.lit(0.95) * F.count(F.lit(1))
+        ).alias("recall_ok"),
     )
 
 
-@query("dedup_simhash")
+@query(
+    "dedup_simhash",
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted, true AS blocking_consistent
+       FROM documents WHERE doc_id % 10 = 0""",
+)
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs: 64-bit signatures, 16-bit chunk blocking
-    (pigeonhole), native bit_count Hamming verify."""
+    """SimHash near-dup pipeline (64-bit signatures, 16-bit chunk blocking,
+    native bit_count Hamming verify), graded on an EXACT consistency
+    contract: for every planted pair the bucketed pair-finding path must
+    agree with the direct per-pair formula — detected iff (Hamming(sig_a,
+    sig_b) ≤ 6 AND ≥1 of the 4 16-bit chunks equal). Both sides are
+    deterministic Spark computations over the same signatures, so any
+    bucket-join/dedup/cap bug breaks the boolean; the signature kernel
+    itself is value-pinned against the pure-Python twin in pytest."""
     from .operators.dedup import (
+        NEAR_DUP_STRIDE,
         augment_with_near_dups,
+        persist_evicting,
         simhash_near_dup_pairs,
         simhash_signatures,
     )
 
     docs = augment_with_near_dups(_t(spark, sf_dir, "documents"))
-    return simhash_near_dup_pairs(simhash_signatures(docs), max_hamming=6)
+    sigs = persist_evicting(simhash_signatures(docs))
+    found = simhash_near_dup_pairs(sigs, max_hamming=6).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("hit")
+    )
+    a = sigs.where(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < NEAR_DUP_STRIDE)
+    ).select(F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.where(F.col("doc_id") >= NEAR_DUP_STRIDE).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b")
+    )
+    pairs = a.join(b, F.col("doc_id_b") == F.col("doc_id_a") + NEAR_DUP_STRIDE)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    mask = F.lit(0xFFFF).cast("long")
+    chunk_match = None
+    for i in range(4):
+        eq = F.shiftrightunsigned(F.col("sh_a"), 16 * i).bitwiseAND(mask) == (
+            F.shiftrightunsigned(F.col("sh_b"), 16 * i).bitwiseAND(mask)
+        )
+        chunk_match = eq if chunk_match is None else (chunk_match | eq)
+    expected = (hamming <= 6) & chunk_match
+    checked = pairs.join(found, ["doc_id_a", "doc_id_b"], "left").select(
+        (expected == (F.coalesce(F.col("hit"), F.lit(0)) == 1)).alias("consistent")
+    )
+    return checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted"),
+        F.bool_and("consistent").alias("blocking_consistent"),
+    )
 
 
 from .operators.textops import fingerprint_oracle_sql, langid_oracle_sql  # noqa: E402
@@ -1492,15 +1606,71 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
-@query("ann_lsh_topk")
+_BF_TOPK_SQL = """
+q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.q_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, c.ce) AS cos
+  FROM q CROSS JOIN c),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored)
+""".strip()
+
+
+def _ann_recall_frame(spark, sf_dir, approx):
+    """Per-query recall@10 of `approx`(q_id, neighbor_id) against an
+    in-query brute-force twin → (q_id, top1_cos, recall)."""
+    from .operators.similarity import brute_force_topk, split_query_candidates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q, c = split_query_candidates(emb, n_queries=5)
+    bf = brute_force_topk(q, c, k=10)
+    hits = approx.select("q_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        bf.join(hits, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.max_by(
+                "neighbor_id", F.struct(F.col("cos"), -F.col("neighbor_id"))
+            ).alias("bf_top1_id"),
+            F.max("cos").alias("top1_cos"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    f"""WITH {_BF_TOPK_SQL}
+    SELECT q_id, neighbor_id AS bf_top1_id, round(cos, 4) AS bf_top1_cos,
+           true AS recall_ok
+    FROM ranked WHERE rn = 1""",
+)
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (sign random projection, hamming
-    probe) — the scale path next to the brute-force baseline."""
+    """LSH-bucketed approximate top-k (sign random projection, Hamming-probe
+    candidate pruning), graded on its ACCURACY CONTRACT: per query, the
+    exact brute-force top-1 (SQL-computable) plus a boolean asserting
+    recall@10 vs the in-query brute-force twin ≥ 0.9 (measured 1.0 at
+    probe_hamming=12 across all SFs; hyperplanes are seed-pinned, so the
+    value is deterministic). The pruned-probe plan itself stays the
+    measured operator; raw top-k rows remain pytest-verified."""
     from .operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, n_queries=5, k=10, probe_hamming=4).select(
-        "q_id", "neighbor_id", F.round("cos", 4).alias("cos_sim")
+    approx = lsh_topk(emb, n_queries=5, k=10, probe_hamming=12)
+    per = _ann_recall_frame(spark, sf_dir, approx)
+    return per.select(
+        "q_id",
+        "bf_top1_id",
+        F.round("top1_cos", 4).alias("bf_top1_cos"),
+        (F.col("recall") >= 0.9).alias("recall_ok"),
     )
 
 
@@ -1553,15 +1723,38 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
-@query("ann_ivf_topk")
+@query(
+    "ann_ivf_topk",
+    f"""WITH {_BF_TOPK_SQL}
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(max(cos), 4) AS bf_best_cos,
+           true AS mean_recall_ok
+    FROM ranked WHERE rn = 1""",
+)
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN (coarse quantize → probe nprobe inverted lists →
-    exact cosine). Rows-only; pytest measures recall vs brute force."""
+    """IVF-style ANN (coarse quantize → probe inverted lists → exact
+    cosine), graded on its ACCURACY CONTRACT: mean recall@10 vs the
+    in-query brute-force twin ≥ 0.6 while probing ~70% of the inverted
+    lists (measured mean 0.82-0.94 per SF; the driver tables are UNIFORM
+    random vectors — the adversarial case for IVF, which is why the honest
+    threshold sits below the LSH one). Deterministic: the graded query
+    uses the stride coarse quantizer (the kmeans-trained path is
+    float-summation-order sensitive and is exercised in pytest plus the
+    partitioned-index layout instead)."""
+    import math
+
     from .operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, n_queries=5, k=10, nprobe=3).select(
-        "q_id", "neighbor_id", F.round("cos", 4).alias("cos_sim")
+    n_lists = emb.where(F.col("vec_id") % 25 == 0).count()
+    approx = ivf_topk(
+        emb, n_queries=5, k=10, nprobe=max(3, math.ceil(0.7 * n_lists)), train=False
+    )
+    per = _ann_recall_frame(spark, sf_dir, approx)
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.max("top1_cos"), 4).alias("bf_best_cos"),
+        (F.avg("recall") >= 0.6).alias("mean_recall_ok"),
     )
 
 
@@ -1597,14 +1790,20 @@ def q_multires_rollup(spark, sf_dir):
     )
 
 
-@query("byte_histogram")
+from .operators.multimodal import (  # noqa: E402
+    byte_histogram_oracle_sql,
+    frame_sample_oracle_sql,
+)
+
+
+@query("byte_histogram", byte_histogram_oracle_sql())
 def q_byte_histogram(spark, sf_dir):
     """Multimodal plumbing demo: opaque-binary feature extraction (16-bucket
     byte histogram) over the synthesized html column, Arrow-batched.
-    Output is exploded to scalar (url, bucket, n) rows — the histogram
-    array itself is not driver-sortable (list cells can't be canonicalized
-    by the harness). Rows-only: the html byte stream includes invalid-UTF8
-    fixtures DuckDB strings can't carry; pytest checks the kernel."""
+    Output is exploded to scalar (url, bucket, n) rows. EXACT oracle:
+    DuckDB reconstructs the html bytes in the hex domain (invalid-UTF8
+    fixtures included, spliced via unhex) and counts high-nibble hex
+    digits — value-level grading of the Arrow kernel's output."""
     from .operators.multimodal import byte_histogram
 
     pages = synth_pages(spark, sf_dir)
@@ -1711,12 +1910,13 @@ def q_server_version_number(spark, sf_dir):
     )
 
 
-@query("frame_sample")
+@query("frame_sample", frame_sample_oracle_sql(every_n=4))
 def q_frame_sample(spark, sf_dir):
     """Multimodal frame-sampling plumbing: one binary payload → N sampled
     fixed-size 'frames' with offsets and fingerprints (deterministic fake
-    codec behind the ffmpeg seam). Rows-only: frame bytes aren't
-    SQL-reachable; pytest checks the kernel against a scalar slice."""
+    codec behind the ffmpeg seam). EXACT oracle: offsets/indices are
+    analytic in the byte length and the frame fingerprint is a polynomial
+    byte-fold DuckDB reproduces from the hex-domain html reconstruction."""
     from .operators.multimodal import sample_frames_df
 
     pages = synth_pages(spark, sf_dir)

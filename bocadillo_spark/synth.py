@@ -267,6 +267,42 @@ page_events AS (
 """.strip()
 
 
+def html_hex_cte_sql() -> str:
+    """DuckDB CTE `html_hex(doc_id, url, hexs)`: the EXACT html byte stream
+    reconstructed in SQL, as an uppercase hex string (composes after
+    pages_cte_sql). DuckDB 1.0 has no blob slicing/md5, so all byte-level
+    oracles (byte histograms, frame fingerprints) work in the hex domain —
+    2 chars per byte, sliced with plain substr. The invalid-UTF8 fixture is
+    spliced in as hex (a VARCHAR can't carry those bytes; a BLOB via unhex
+    can). Byte-for-byte parity with build_html is pytest-asserted
+    (tests/test_byte_equality.py)."""
+    inv_hex = INVALID_BYTES.hex().upper()
+    return f"""
+html_hex AS (
+  SELECT doc_id, url,
+    hex(CASE WHEN empty_html THEN ''::BLOB
+         ELSE encode('<html><head><meta lang="' || lang || '"></head><body>' ||
+              array_to_string(list_transform(range(0, CAST(n_events AS BIGINT)), s ->
+                '§EVT|' ||
+                CASE ((doc_id + s) % 4) WHEN 0 THEN 'write' WHEN 1 THEN 'update'
+                     WHEN 2 THEN 'delete' ELSE 'rotate' END ||
+                '|k1=' || CAST(doc_id AS VARCHAR) || ';k2=' || CAST(s AS VARCHAR) ||
+                CASE WHEN ((doc_id + s) % 4) = 1
+                     THEN ';old=' || CAST((doc_id * 31 + s * 7) % {CDC_MOD} AS VARCHAR)
+                          || ';new=' || CAST((doc_id * 31 + (s + 1) * 7) % {CDC_MOD} AS VARCHAR)
+                     ELSE '' END ||
+                '§'), ''))
+           || CASE WHEN doc_id % {INVALID_UTF8_MOD} = {INVALID_UTF8_REM}
+                   THEN unhex(substr(hex(encode(coalesce(text, ''))), 1, 20)
+                        || '{inv_hex}' || substr(hex(encode(coalesce(text, ''))), 21))
+                   ELSE encode(coalesce(text, '')) END
+           || encode('</body></html>')
+    END) AS hexs
+  FROM pages
+)
+""".strip()
+
+
 def routed_cte_sql() -> str:
     """Routing semantics in SQL: parse-error rows and dimension-unmatched
     rows go to the 'error' sink; everything else to sink_{lang}."""

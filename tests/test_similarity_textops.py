@@ -92,12 +92,10 @@ def test_byte_histogram_matches_numpy(spark, sf_dir):
 
 
 def test_frame_sample_matches_scalar(spark, sf_dir):
-    import hashlib
-
     pages = synth_pages(spark, sf_dir).limit(10)
     got = {}
     for r in multimodal.sample_frames_df(pages, "html", every_n=4).collect():
-        got.setdefault(r["url"], []).append((r["frame_idx"], r["frame_off"], r["frame_hash"]))
+        got.setdefault(r["url"], []).append((r["frame_idx"], r["frame_off"], r["frame_fp"]))
     for r in pages.select("url", "html").collect():
         payload = r["html"] or b""
         want = []
@@ -106,8 +104,21 @@ def test_frame_sample_matches_scalar(spark, sf_dir):
             n_frames = (len(payload) + FB - 1) // FB
             for k, f in enumerate(range(0, n_frames, 4)):
                 off = f * FB
-                want.append((k, off, hashlib.md5(payload[off : off + FB]).hexdigest()))
+                want.append((k, off, multimodal.frame_fp(payload[off : off + FB])))
         assert sorted(got.get(r["url"], [])) == sorted(want), r["url"]
+
+
+def test_frame_fp_scalar_kernel():
+    """frame_fp is the doc-fingerprint fold over raw bytes — pin a few
+    values independently of the Spark path (and of the DuckDB twin)."""
+    from bocadillo_spark.functions.hashing import FP_BASE, MERSENNE31
+
+    assert multimodal.frame_fp(b"") == 0
+    assert multimodal.frame_fp(b"\x00") == 0
+    assert multimodal.frame_fp(b"\x01\x02") == (FP_BASE + 2) % MERSENNE31
+    assert multimodal.frame_fp(b"\xff\xfe\xfd") == (
+        ((255 * FP_BASE + 254) % MERSENNE31) * FP_BASE + 253
+    ) % MERSENNE31
 
 
 def test_media_metadata_and_stubs(spark, sf_dir):
