@@ -181,8 +181,12 @@ def test_compact_and_expire_snapshots(spark, tmp_path):
     m = compact(spark, t, target_files=1)
     assert m["operation"] == "compact" and m["version"] == 3
     assert _rows(spark, t) == before  # data identical
-    files = glob.glob(f"{t}/snapshots/snap-000003/part-*.parquet")
-    assert len(files) == 1  # actually coalesced
+    # compaction folds every live bucket to exactly one file, owned by v3
+    bucket_dirs = glob.glob(f"{t}/snapshots/snap-000003/__bucket=*")
+    assert bucket_dirs, "compacted snapshot must be bucketed"
+    for d in bucket_dirs:
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1, d
+    assert all(i["owner"] == 3 for i in m["buckets"].values())
 
     expired = expire_snapshots(t, keep_last=1)
     assert expired == [1, 2]
@@ -190,6 +194,64 @@ def test_compact_and_expire_snapshots(spark, tmp_path):
     assert [h["version"] for h in table_history(t)] == [1, 2, 3]  # history kept
     with pytest.raises(ValueError, match="expired"):
         read_table(spark, t, version=1)
+
+
+def test_untouched_buckets_not_rewritten(spark, tmp_path):
+    """The partition-scoped COW contract: a MERGE physically rewrites ONLY
+    the buckets containing batch keys; every other bucket's files stay
+    byte-identical on disk (carried into the new snapshot by manifest
+    reference), and reads resolve across snapshot directories."""
+    import glob
+    import os
+
+    from bocadillo_spark.plans.merge import _bucket_col, expire_snapshots
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(f"u{i}", i, "a") for i in range(200)], "url string, doc_id long, state string"
+    )
+    m1 = merge_upsert(spark, t, base, ["url"], batch_id=1, n_buckets=8)
+    assert m1["n_buckets"] == 8 and len(m1["buckets"]) == 8
+
+    def file_state(version):
+        out = {}
+        for p in glob.glob(f"{t}/snapshots/snap-{version:06d}/__bucket=*/part-*"):
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    v1_files = file_state(1)
+    upd = spark.createDataFrame([("u1", 1, "b")], "url string, doc_id long, state string")
+    touched = {
+        int(r["b"])
+        for r in upd.select(_bucket_col(["url"], 8).alias("b")).distinct().collect()
+    }
+    m2 = merge_upsert(spark, t, upd, ["url"], batch_id=2)
+
+    # untouched buckets: still owned by v1, files untouched on disk
+    assert file_state(1) == v1_files, "v1 data files must not be rewritten"
+    v2_bucket_dirs = {
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(f"{t}/snapshots/snap-000002/__bucket=*")
+    }
+    assert v2_bucket_dirs == touched, "v2 must write ONLY the touched buckets"
+    for k, info in m2["buckets"].items():
+        assert info["owner"] == (2 if int(k) in touched else 1)
+    assert m2["row_count"] == 200
+
+    # the merged read resolves across both snapshot dirs
+    rows = dict(
+        (r["url"], r["state"]) for r in read_table(spark, t).collect()
+    )
+    assert rows["u1"] == "b" and rows["u0"] == "a" and len(rows) == 200
+
+    # expiry must NOT delete v1 data while v2's manifest references it
+    assert expire_snapshots(t, keep_last=1) == []
+    assert file_state(1) == v1_files
+    assert dict(
+        (r["url"], r["state"]) for r in read_table(spark, t).collect()
+    ) == rows
 
 
 def test_merge_upsert_delete_and_batch_dedupe(spark, tmp_path):
