@@ -156,11 +156,29 @@ def main() -> None:
     # the throughput of the training-data layer, not just the relational one
     for name in ["q1_pricing_summary", "revenue_by_nation", "dedup_exact",
                  "ann_cosine_topk", "latest_event_per_user", "text_stats",
-                 "dedup_minhash", "dedup_simhash", "doc_fingerprint",
-                 "lang_id", "dedup_embedding"]:
+                 "doc_fingerprint", "lang_id", "dedup_embedding"]:
         t0 = time.time()
         Q.QUERIES[name](spark, sf_dir).collect()
         query_secs[name] = round(time.time() - t0, 3)
+
+    # round 3 turned the dedup_minhash/dedup_simhash REGISTRY entries into
+    # accuracy-contract queries (operator + grading twin). The bench keeps
+    # timing the OPERATOR pipelines themselves — pair output, identical
+    # shape to the r01/r02 entries — so the series stays like-for-like.
+    from pyspark.sql import functions as F
+    from bocadillo_spark.operators import dedup as D
+
+    docs = D.augment_with_near_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    t0 = time.time()
+    D.minhash_dedup_pairs(docs, threshold=0.8).select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
+    ).collect()
+    query_secs["dedup_minhash"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    D.simhash_near_dup_pairs(D.simhash_signatures(docs), max_hamming=6).collect()
+    query_secs["dedup_simhash"] = round(time.time() - t0, 3)
     spark.stop()
 
     task_cpus = int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "4" if cpus >= 16 else "1"))

@@ -233,6 +233,83 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    emb: DataFrame,
+    out_dir: str,
+    n_lists: int = 20,
+    train_fraction: float = 1.0,
+    seed: int = 7,
+) -> str:
+    """Materialize the at-scale IVF layout: the candidate table written
+    `partitionBy("list_id")` (one directory per inverted list) plus the
+    centroid set. Training: k-means on a SAMPLE of the vectors
+    (`train_fraction` — centroid quality needs a representative sample,
+    not the corpus; at 100 TB you train on ~1e6 rows and assign all), then
+    one full assignment pass. Probes against this layout prune whole
+    list_id partitions at planning time — PartitionFilters, plan-guarded
+    in tests/test_plans.py."""
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    train = e.sample(train_fraction, seed=seed) if train_fraction < 1.0 else e
+    centroids = kmeans_centroids(train, n_clusters=n_lists, seed=seed)
+    if centroids is None:  # pyspark.ml unavailable: stride fallback
+        centroids = e.where(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+        )
+    assigned = ivf_assign(e, centroids)
+    assigned.select("vec_id", "e", "list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{out_dir}/lists")
+    centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    return out_dir
+
+
+def ivf_topk_indexed(
+    spark, index_dir: str, queries: DataFrame, k: int = 10, nprobe: int = 3
+) -> DataFrame:
+    """Probe the MATERIALIZED IVF index: each query's `nprobe` nearest
+    centroids (broadcast centroid set) yield a probed-list set of at most
+    n_queries × nprobe ids — collected driver-side (bounded by
+    construction) and turned into a STATIC `list_id IN (...)` predicate,
+    so the parquet scan reads only the probed inverted-list directories
+    and prunes the rest at planning time. queries: (q_id, qe
+    array<double>)."""
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", _sq_dist(F.col("qe"), F.col("ce")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+            ),
+        )
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "qe", F.col("centroid_id").alias("list_id"))
+    )
+    probe_ids = sorted(
+        r["list_id"] for r in probes.select("list_id").distinct().collect()
+    )
+    lists = (
+        spark.read.parquet(f"{index_dir}/lists")
+        .where(F.col("list_id").isin(probe_ids))
+        .join(
+            F.broadcast(queries.select(F.col("q_id").alias("vec_id"))),
+            "vec_id",
+            "left_anti",  # queries are not their own neighbors
+        )
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "list_id")
+    )
+    scored = probes.join(lists, "list_id").withColumn(
+        "cos", cosine_col(F.col("qe"), F.col("ce"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cos")
+    )
+
+
 def lsh_topk(
     emb: DataFrame, n_queries: int = 5, k: int = 10, probe_hamming: int = 2, dim: int = 64
 ) -> DataFrame:

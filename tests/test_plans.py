@@ -135,3 +135,53 @@ def test_filter_pushdown_to_scan(spark, sf_dir, tmp_path):
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "html" not in read_schema  # projection pruned the fat column
+
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The IVF at-scale story: candidates materialized partitionBy(list_id),
+    probes turned into a static list_id IN (...) predicate — the scan's
+    PartitionFilters must carry it, so only the probed inverted-list
+    directories are read (the other lists never enter the plan)."""
+    import glob
+
+    from bocadillo_spark.operators.similarity import (
+        _as_double,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, n_lists=20, train_fraction=0.8)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), _as_double(F.col("embedding")).alias("qe")
+    )
+    df = ivf_topk_indexed(spark, idx, q, k=10, nprobe=3)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l and "list_id" in l]
+    assert pf and any("IN" in l or "in(" in l.lower() for l in pf), pf
+
+    # pruning is real: the index has more list dirs than any probe set
+    n_lists = len(glob.glob(f"{idx}/lists/list_id=*"))
+    assert n_lists > 3 * 5  # > n_queries * nprobe upper bound on probed ids
+
+    # and the probe returns sane exact-cosine top-k per query
+    rows = df.collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    import numpy as np
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for q_id, rs in per_q.items():
+        assert len(rs) <= 10
+        for r in rs[:3]:
+            a, b = vecs[q_id], vecs[r["neighbor_id"]]
+            ref = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(ref - r["cos"]) < 1e-9

@@ -64,3 +64,26 @@ def test_aqe_splits_skewed_join(skew_spark):
     assert summed.collect()[0]["s"] > 0
     final_plan = summed._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in final_plan, final_plan[:2000]
+
+
+def test_two_pass_global_rank_equals_window(spark, sf_dir):
+    """The scale-safe two-pass global rank (range repartition + offsets +
+    local row_number) must equal Spark's own unpartitioned-window
+    row_number exactly — same total ordering, no single-task stage."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.aggregate import global_rank_two_pass
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
+    )
+    ranked, n = global_rank_two_pass(totals, ["total", "user_id"], n_parts=7)
+    got = {r["user_id"]: r["rank"] for r in ranked.collect()}
+    w = W.orderBy(F.asc("total"), F.asc("user_id"))
+    want = {
+        r["user_id"]: r["rn"]
+        for r in totals.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert n == len(want) and got == want

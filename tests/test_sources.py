@@ -44,3 +44,33 @@ def test_csv_roundtrip_and_dead_letter(spark, tmp_path):
 def test_parquet_reader_respects_schema(spark, sf_dir):
     df = read_table(spark, f"{sf_dir}/events.parquet")
     assert {"event_id", "ts", "user_id"}.issubset(set(df.columns))
+
+
+def test_stream_workspace_gc_reaps_stale_roots(spark, sf_dir):
+    """Stale same-SF workspace roots (old tag => unreachable forever) and
+    legacy un-prefixed roots are GC'd on entry; the live root survives."""
+    import os
+    import tempfile
+
+    from bocadillo_spark import queries as Q
+
+    tmp = tempfile.gettempdir()
+    sf_base = os.path.basename(sf_dir.rstrip("/"))
+    stale = os.path.join(tmp, f"bocadillo_stream_q_{sf_base}_deadbeefdead")
+    legacy = os.path.join(tmp, "bocadillo_stream_q_0123456789ab")
+    other_sf = os.path.join(tmp, "bocadillo_stream_q_sfother_aaaabbbbcccc")
+    for d in (stale, legacy, other_sf):
+        os.makedirs(d, exist_ok=True)
+    try:
+        pages_dir, root = Q._stream_workspace(spark, sf_dir)
+        assert os.path.exists(os.path.join(pages_dir, "_SUCCESS"))
+        assert not os.path.exists(stale), "same-SF stale tag must be reaped"
+        assert not os.path.exists(legacy), "legacy root must be reaped"
+        assert os.path.exists(other_sf), "other SFs' roots are not ours to reap"
+        # idempotent: a second call keeps the live root
+        pages2, root2 = Q._stream_workspace(spark, sf_dir)
+        assert (pages2, root2) == (pages_dir, root) and os.path.exists(pages_dir)
+    finally:
+        import shutil
+
+        shutil.rmtree(other_sf, ignore_errors=True)
