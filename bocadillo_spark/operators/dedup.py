@@ -378,12 +378,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
 
 def simhash_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Block on 4 x 16-bit chunks (pigeonhole: hamming ≤3 ⇒ ≥1 chunk equal),
-    verify Hamming on candidates — all native bit ops, no UDF. No persist
-    here: both self-join sides are the IDENTICAL subplan, so Spark's
-    ReusedExchange computes the signature shuffle once already (persist
-    measured slower — it pays materialization for nothing; contrast with
-    minhash, where the bands frame feeds two DIFFERENT exchanges and
-    persist wins 2.5x)."""
+    verify Hamming on candidates — all native bit ops, no UDF. Callers
+    should pass `sigs` PERSISTED (persist_evicting): at fixture scale the
+    chunk self-join plans as a BroadcastHashJoin whose build side is a
+    separate subtree — without persistence the signature fold executes
+    once per side (round-3 measurement: worst case 33.5 s plain vs 7.5 s
+    persisted under throttle; the earlier ReusedExchange assumption only
+    holds when both sides shuffle). q_dedup_simhash and bench.py both
+    persist."""
     chunks = (sigs.select(
         "doc_id",
         "simhash",
