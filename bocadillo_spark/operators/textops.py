@@ -160,6 +160,160 @@ def zscore_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021 §A1.1 shape, tuned to
+# this corpus's 31-word vocabulary) and the decontamination split constants.
+REP_TOP_BIGRAM_MAX = 0.08
+REP_DUP_TRIGRAM_MAX = 0.5
+# modulus picked so the planted near-dup pairs straddle the eval/train
+# split at every SF (3/3/5 contaminated docs at sf0.001/0.01/0.1) — the
+# query must not grade on a trivially empty result
+DECONTAM_EVAL_MOD = 89
+DECONTAM_NGRAM = 8
+
+
+def _word_ngrams(ws, n: int):
+    """array<string> of space-joined word n-grams over a words column.
+    Guarded: size < n yields an empty array (Spark's sequence(1, 0) would
+    otherwise step backwards and produce [1, 0])."""
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _words_col():
+    return F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""
+    )
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+    top_bigram_frac (occurrences of the most common word bigram / total
+    bigrams) and dup_trigram_frac (mass of trigrams beyond their first
+    occurrence / total trigrams), plus the filter flag.
+
+    Scale shape: explode → groupBy(doc_id, n, gram) → re-agg on doc_id —
+    two key-local shuffles, NO per-row quadratic array scan (an
+    array_distinct×filter nest would be O(len²) per doc and melt on long
+    documents). Both n-gram streams ride one exploded frame so the corpus
+    is read and shuffled once. Ratios are int/int double divisions →
+    bit-exact under the DuckDB twin (repetition_oracle_sql)."""
+    ws = _words_col()
+    tagged = F.concat(
+        F.transform(
+            _word_ngrams(ws, 2),
+            lambda s: F.struct(F.lit(2).alias("n"), s.alias("gram")),
+        ),
+        F.transform(
+            _word_ngrams(ws, 3),
+            lambda s: F.struct(F.lit(3).alias("n"), s.alias("gram")),
+        ),
+    )
+    grams = docs.select("doc_id", F.explode(tagged).alias("g")).select(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    is2 = F.col("n") == 2
+    is3 = F.col("n") == 3
+    per_doc = counts.groupBy("doc_id").agg(
+        (
+            F.max(F.when(is2, F.col("c"))).cast("double")
+            / F.sum(F.when(is2, F.col("c")))
+        ).alias("top_bigram_frac"),
+        (
+            (F.sum(F.when(is3, F.col("c"))) - F.count(F.when(is3, F.lit(1)))).cast(
+                "double"
+            )
+            / F.sum(F.when(is3, F.col("c")))
+        ).alias("dup_trigram_frac"),
+    )
+    top = F.coalesce("top_bigram_frac", F.lit(0.0))
+    dup = F.coalesce("dup_trigram_frac", F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            top.alias("top_bigram_frac"),
+            dup.alias("dup_trigram_frac"),
+            (
+                (top > F.lit(REP_TOP_BIGRAM_MAX))
+                | (dup > F.lit(REP_DUP_TRIGRAM_MAX))
+            ).alias("flagged"),
+        )
+    )
+
+
+def repetition_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of repetition_scores (same thresholds via the shared
+    constants, same guarded n-gram construction)."""
+    return f"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM {table}),
+g AS (
+  SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram FROM w
+),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+a AS (SELECT doc_id,
+        CAST(max(CASE WHEN n = 2 THEN c END) AS DOUBLE)
+          / sum(CASE WHEN n = 2 THEN c END) AS top_bigram_frac,
+        CAST(sum(CASE WHEN n = 3 THEN c END) - count(CASE WHEN n = 3 THEN 1 END) AS DOUBLE)
+          / sum(CASE WHEN n = 3 THEN c END) AS dup_trigram_frac
+      FROM c GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(a.top_bigram_frac, 0.0) AS top_bigram_frac,
+  coalesce(a.dup_trigram_frac, 0.0) AS dup_trigram_frac,
+  (coalesce(a.top_bigram_frac, 0.0) > {REP_TOP_BIGRAM_MAX}
+   OR coalesce(a.dup_trigram_frac, 0.0) > {REP_DUP_TRIGRAM_MAX}) AS flagged
+FROM {table} d LEFT JOIN a USING (doc_id)"""
+
+
+def decontaminate(docs: DataFrame) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any word
+    {DECONTAM_NGRAM}-gram with the held-out eval split (doc_id %
+    {DECONTAM_EVAL_MOD} == 0 — a deterministic stand-in for a benchmark
+    suite). Returns (doc_id, lang, n_matched_ngrams) for contaminated
+    train docs only.
+
+    Scale shape: the eval n-gram set is tiny relative to the corpus (real
+    eval suites are MBs against TBs of train), so it is distinct-ed and
+    BROADCAST against the exploded train n-grams; the train side is never
+    shuffled on the gram key — the broadcast join filters it map-side and
+    only MATCHED n-grams reach the one real shuffle, the per-doc
+    count_distinct (partial distinct runs map-side). The planted near-dup
+    pairs in the corpus make the result non-trivial at every SF."""
+    ws = _words_col()
+    ng = docs.select(
+        "doc_id", "lang", F.explode(_word_ngrams(ws, DECONTAM_NGRAM)).alias("g")
+    )
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    ev = ng.where(is_eval).select("g").distinct()
+    return (
+        ng.where(~is_eval)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.count_distinct(F.col("g")).cast("long").alias("n_matched_ngrams"))
+    )
+
+
+def decontam_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of decontaminate (same n, same eval modulus)."""
+    n = DECONTAM_NGRAM
+    return f"""WITH w AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM {table}),
+ng AS (SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(ws)-{n - 2}),
+                               i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS g
+       FROM w),
+ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+tr AS (SELECT DISTINCT doc_id, lang, g FROM ng WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0)
+SELECT tr.doc_id, tr.lang, CAST(count(*) AS BIGINT) AS n_matched_ngrams
+FROM tr JOIN ev USING (g) GROUP BY tr.doc_id, tr.lang"""
+
+
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """Rolling polynomial hash over text codepoints mod 2^31-1 — fully
     native (char split → ascii → aggregate fold, whole-stage codegen; the

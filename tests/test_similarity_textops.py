@@ -186,3 +186,51 @@ def test_ivf_topk_recall_vs_brute(spark, sf_dir):
     hits = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
     assert hits > 0
     assert all(len(v) <= 10 for v in approx.values())
+
+
+def test_repetition_scores_planted(spark):
+    from bocadillo_spark.operators.textops import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            # "a b" bigram 4/7 of bigrams; trigram "a b a" repeats
+            (1, "a b a b a b a b"),
+            # no repeated bigram or trigram, long enough that the max
+            # bigram fraction 1/19 sits under the 0.08 threshold
+            (2, " ".join(f"w{i}" for i in range(20))),
+            # single word: no bigrams at all -> 0.0 / 0.0, unflagged
+            (3, "solo"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    assert got[1]["flagged"] and got[1]["top_bigram_frac"] == pytest.approx(4 / 7)
+    assert got[1]["dup_trigram_frac"] == pytest.approx(4 / 6)  # 6 trigrams, 2 distinct
+    assert not got[2]["flagged"]
+    assert got[2]["top_bigram_frac"] == pytest.approx(1 / 19)  # all-distinct bigrams
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.0 and not got[3]["flagged"]
+    assert got[4]["top_bigram_frac"] == 0.0 and not got[4]["flagged"]
+
+
+def test_decontaminate_planted(spark):
+    from bocadillo_spark.operators.textops import (
+        DECONTAM_EVAL_MOD,
+        decontaminate,
+    )
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 9 words -> two 8-grams
+    docs = spark.createDataFrame(
+        [
+            (0, "en", shared + " tailA tailB"),  # eval doc (0 % mod == 0)
+            (1, "en", "preA preB " + shared),  # contaminated: shares 8-grams
+            (2, "fr", "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),  # clean
+            (3, "en", "short doc"),  # < 8 words -> no n-grams
+        ],
+        "doc_id long, lang string, text string",
+    )
+    assert 1 % DECONTAM_EVAL_MOD == 1  # doc 1 is in the train split
+    got = {r["doc_id"]: r for r in decontaminate(docs).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_matched_ngrams"] == 2 and got[1]["lang"] == "en"
