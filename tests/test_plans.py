@@ -185,3 +185,19 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
             a, b = vecs[q_id], vecs[r["neighbor_id"]]
             ref = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
             assert abs(ref - r["cos"]) < 1e-9
+
+
+def test_textops_plans_python_free(spark, sf_dir):
+    """The round-3 text-analysis ops must stay fully native: no Python
+    workers, no cartesian shape; decontamination must broadcast the eval
+    n-gram set rather than shuffle the exploded train side on the gram."""
+    from bocadillo_spark.queries import QUERIES
+
+    for name in ("gopher_repetition", "decontaminate_ngrams"):
+        plan = _formatted(QUERIES[name](spark, sf_dir))
+        for bad in ("MapInPandas", "ArrowEval", "BatchEvalPython",
+                    "CartesianProduct", "BroadcastNestedLoop"):
+            assert bad not in plan, (name, bad)
+    plan = _formatted(QUERIES["decontaminate_ngrams"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
