@@ -171,7 +171,8 @@ def main() -> None:
     for name in ["q1_pricing_summary", "revenue_by_nation", "dedup_exact",
                  "ann_cosine_topk", "latest_event_per_user", "text_stats",
                  "doc_fingerprint", "lang_id", "dedup_embedding",
-                 "gopher_repetition", "decontaminate_ngrams"]:
+                 "gopher_repetition", "decontaminate_ngrams",
+                 "url_dedup_canonical"]:
         timed(name, lambda name=name: Q.QUERIES[name](spark, sf_dir))
 
     # round 3 turned the dedup_minhash/dedup_simhash REGISTRY entries into

@@ -234,3 +234,48 @@ def test_decontaminate_planted(spark):
     got = {r["doc_id"]: r for r in decontaminate(docs).collect()}
     assert set(got) == {1}
     assert got[1]["n_matched_ngrams"] == 2 and got[1]["lang"] == "en"
+
+
+def test_canonical_url_forms(spark):
+    from bocadillo_spark.operators.urls import canonical_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("https://hA.Example.com/s/1", "https://ha.example.com/s/1"),
+        ("https://h0.example.com/s/1?utm_source=x&gclid=9", "https://h0.example.com/s/1"),
+        ("https://h0.example.com/s/1?fbclid=a#frag", "https://h0.example.com/s/1"),
+        # real param survives, tracking stripped, '?' restored correctly
+        ("https://h0.example.com/s/1?utm_campaign=c&page=2", "https://h0.example.com/s/1?page=2"),
+        ("https://h0.example.com/s/1?page=2&ref=hn", "https://h0.example.com/s/1?page=2"),
+        # path case preserved, host lowered
+        ("HTTPS://H0.EXAMPLE.COM/UPPER/Path?Q=1", "https://h0.example.com/UPPER/Path?Q=1"),
+        ("https://h0.example.com/s/1", "https://h0.example.com/s/1"),
+    ]
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(SF.col("url")).alias("c")).collect()]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, (raw, g, want)
+
+
+def test_url_dedup_collapses_variants(spark):
+    import datetime as dt
+
+    from bocadillo_spark.operators.urls import recrawl_variants, url_dedup
+
+    pages = spark.createDataFrame(
+        [
+            ("https://h0.example.com/s/3", dt.datetime(2024, 1, 1, 0, 0, 3)),
+            ("https://h1.example.com/s/4", dt.datetime(2024, 1, 1, 0, 0, 4)),
+            ("https://h2.example.com/s/12", dt.datetime(2024, 1, 1, 0, 0, 12)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    got = {r["canonical_url"]: r for r in url_dedup(recrawl_variants(pages)).collect()}
+    # doc 3: 3%3==0 -> tracking variant; doc 4: 4%3==1 -> fbclid variant;
+    # doc 12: 12%3==0 tracking AND 12%5==2 upper-host -> 3 spellings
+    assert got["https://h0.example.com/s/3"]["n_variants"] == 2
+    assert got["https://h1.example.com/s/4"]["n_variants"] == 2
+    assert got["https://h2.example.com/s/12"]["n_variants"] == 3
+    assert got["https://h2.example.com/s/12"]["first_seen"] == "2024-01-01 00:00:12"
