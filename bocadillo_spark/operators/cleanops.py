@@ -1,0 +1,262 @@
+"""Corpus-cleaning operators for the training-data layer: C4-style
+inter-document chunk dedup, PII redaction, unigram-LM quality scoring,
+and temperature-based language sampling weights.
+
+Like textops.py, every operator here is a fully native plan (no Python
+workers) and ships with a DuckDB oracle generator that shares its
+constants, so the driver's cross-engine value-hash gate covers it.
+
+Reference lineage: the reference's only text transform is a regex
+predicate (reader/schema/manager.go:72-80) and its dedup analog is the
+keyed tableMap upsert (reader/reader.go:103-108); these operators are the
+corpus-scale generalizations the brief's training-data layer asks for
+(C4: Raffel et al. 2020 §2.2 three-sentence dedup; CCNet: Wenzek et al.
+2020 LM quality buckets; mT5: Xue et al. 2021 §3 temperature sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .textops import _words_col
+
+# C4-style dedup granularity: non-overlapping word chunks (the synthetic
+# corpus has no sentence boundaries, so a fixed token window stands in for
+# C4's three-sentence span; the plan shape is identical).
+CHUNK_WORDS = 12
+
+# PII planting moduli (deterministic, SQL-expressible in both engines so
+# the oracle plants the exact same spans it then expects redacted).
+PII_EMAIL_MOD = 7
+PII_PHONE_MOD, PII_PHONE_REM = 11, 3
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+# mT5/XLM-R style sampling temperature: p_l ∝ (n_l/N)^ALPHA.
+SAMPLE_ALPHA = 0.3
+
+
+def _md5_utf8(col):
+    return F.md5(F.encode(col, "UTF-8"))
+
+
+def chunk_dedup(docs: DataFrame) -> DataFrame:
+    """C4-style inter-document exact chunk dedup: split every document
+    into non-overlapping CHUNK_WORDS-token chunks, keep only the globally
+    FIRST occurrence of each distinct chunk (ordered by (doc_id, pos) —
+    C4 keeps one occurrence of each duplicated span), reassemble the
+    surviving chunks per document. Returns per doc: chunk counts and the
+    md5 of the cleaned text (exact under the DuckDB twin).
+
+    Scale shape (the C4 dedup shuffle): posexplode → ONE shuffle on the
+    chunk key (window groups are tiny — a chunk's occurrence list), then
+    one shuffle on doc_id for reassembly. No driver-side state, no
+    quadratic scan; hot chunks (boilerplate repeated millions of times)
+    stay a single window group whose rows are (doc_id, pos) pairs only —
+    the chunk string itself is the key, never multiplied."""
+    ws = _words_col()
+    nch = F.ceil(F.size(ws) / F.lit(float(CHUNK_WORDS))).cast("int")
+    chunks = F.when(
+        F.size(ws) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda j: F.array_join(F.slice(ws, j * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    rn = F.row_number().over(
+        W.partitionBy("chunk").orderBy(F.asc("doc_id"), F.asc("pos"))
+    )
+    exrn = ex.withColumn("rn", rn)
+    kept_struct = F.when(F.col("rn") == 1, F.struct(F.col("pos"), F.col("chunk")))
+    agg = exrn.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count(F.when(F.col("rn") == 1, F.lit(1))).cast("long").alias("n_kept"),
+        _md5_utf8(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s.chunk
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("clean_md5"), _md5_utf8(F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+def chunk_dedup_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of chunk_dedup (same chunking, same keep-first rule)."""
+    k = CHUNK_WORDS
+    return f"""WITH w AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM {table}),
+w2 AS (SELECT doc_id, ws, CAST(ceil(len(ws) / {k}.0) AS INT) AS nch FROM w),
+ch AS (
+  SELECT doc_id,
+         unnest(range(0, nch)) AS pos,
+         unnest(list_transform(range(0, nch),
+                j -> array_to_string(ws[j*{k}+1 : j*{k}+{k}], ' '))) AS chunk
+  FROM w2),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM ch),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+         md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), ''))
+           AS clean_md5
+  FROM rk GROUP BY doc_id)
+SELECT d.doc_id, d.lang,
+       coalesce(a.n_chunks, 0) AS n_chunks,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.clean_md5, md5('')) AS clean_md5
+FROM {table} d LEFT JOIN agg a USING (doc_id)"""
+
+
+def _planted_pii_col():
+    """Deterministically plant PII spans into the corpus text — the same
+    expression is emitted into the oracle, so the redactor under test is
+    graded against spans it provably did not construct itself."""
+    email = F.when(
+        F.col("doc_id") % PII_EMAIL_MOD == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com for details"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % PII_PHONE_MOD == PII_PHONE_REM,
+        F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" today"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone)
+
+
+def pii_redaction(docs: DataFrame) -> DataFrame:
+    """PII scrub pass: count and redact email/phone spans (planted
+    deterministically — the synthetic corpus contains none). Pure
+    map-side native regex work, zero shuffles; at 100 TB this runs inside
+    the scan stage at parquet read speed."""
+    planted = _planted_pii_col()
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(planted, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        _md5_utf8(redacted).alias("redacted_md5"),
+    )
+
+
+def pii_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of pii_redaction: plants the identical spans via the
+    shared moduli, then redacts with the same (RE2-and-Java-portable)
+    patterns."""
+    planted = (
+        "text"
+        f" || CASE WHEN doc_id % {PII_EMAIL_MOD} = 0 THEN"
+        " ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com for details'"
+        " ELSE '' END"
+        f" || CASE WHEN doc_id % {PII_PHONE_MOD} = {PII_PHONE_REM} THEN"
+        " ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'"
+        " ELSE '' END"
+    )
+    return f"""WITH p AS (SELECT doc_id, {planted} AS planted FROM {table})
+SELECT doc_id,
+  CAST(len(regexp_extract_all(planted, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(planted, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(planted, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM p"""
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style LM quality proxy: score each document by the mean
+    unigram log-probability of its tokens under the corpus's own unigram
+    model (two-pass: vocabulary counts, then score). Low scorers are
+    boilerplate/garbage candidates.
+
+    Scale shape: pass 1 is one map-side-combined groupBy(word) — the
+    vocabulary is Zipf-bounded (millions of rows from 100 TB of text, and
+    in production it would be truncated to top-V + an OOV bucket), so it
+    BROADCASTS; pass 2 is a map-side broadcast join of the exploded
+    corpus against the vocab plus one groupBy(doc_id). The corpus is
+    never shuffled on the word key."""
+    wexp = docs.select("doc_id", F.explode(_words_col()).alias("word"))
+    vocab = wexp.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    scored = wexp.join(F.broadcast(vocab), "word").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("total"))), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def unigram_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of unigram_logprob (same tokenization, same model)."""
+    return f"""WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM {table}),
+v AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+t AS (SELECT sum(c) AS total FROM v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS avg_logprob
+FROM w JOIN v USING (word) CROSS JOIN t
+GROUP BY doc_id"""
+
+
+def lang_sampling_weights(docs: DataFrame) -> DataFrame:
+    """Temperature-based language sampling (mT5 §3 / XLM-R): per-language
+    multinomial weight p_l ∝ (n_l/N)^alpha (SAMPLE_ALPHA) — the
+    upsampling schedule a multilingual training run draws from. Tiny
+    aggregate math over the per-language counts; the only shuffle is the
+    map-side-combined groupBy(lang)."""
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    p = counts.crossJoin(F.broadcast(total)).withColumn(
+        "pw", F.pow(F.col("n_docs").cast("double") / F.col("total"), SAMPLE_ALPHA)
+    )
+    z = p.agg(F.sum("pw").alias("z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("pw") / F.col("z"), 6).alias("sample_weight"),
+        F.round(F.lit(100000) * F.col("pw") / F.col("z"), 0)
+        .cast("long")
+        .alias("docs_per_100k"),
+    )
+
+
+def sampling_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of lang_sampling_weights (same alpha)."""
+    return f"""WITH l AS (SELECT lang, count(*) AS n_docs FROM {table} GROUP BY lang),
+t AS (SELECT sum(n_docs) AS total FROM l),
+p AS (SELECT lang, n_docs,
+        pow(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), {SAMPLE_ALPHA}) AS pw
+      FROM l CROSS JOIN t),
+s AS (SELECT sum(pw) AS z FROM p)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       round(pw / z, 6) AS sample_weight,
+       CAST(round(100000 * pw / z, 0) AS BIGINT) AS docs_per_100k
+FROM p CROSS JOIN s"""

@@ -201,3 +201,25 @@ def test_textops_plans_python_free(spark, sf_dir):
     plan = _formatted(QUERIES["decontaminate_ngrams"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cleanops_plans_python_free_and_broadcast(spark, sf_dir):
+    """The corpus-cleaning ops must stay fully native. unigram_logprob
+    must broadcast its Zipf-bounded vocab (the exploded corpus is never
+    shuffled on the word key); pii_redaction is pure map-side — zero
+    shuffles, it runs inside the scan stage."""
+    from bocadillo_spark.queries import QUERIES
+
+    for name in ("chunk_dedup_c4", "pii_redaction", "unigram_logprob",
+                 "lang_sampling_weights"):
+        plan = _formatted(QUERIES[name](spark, sf_dir))
+        for bad in ("MapInPandas", "ArrowEval", "BatchEvalPython",
+                    "CartesianProduct"):
+            assert bad not in plan, (name, bad)
+
+    plan = _formatted(QUERIES["unigram_logprob"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _formatted(QUERIES["pii_redaction"](spark, sf_dir))
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
