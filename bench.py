@@ -172,7 +172,7 @@ def main() -> None:
                  "ann_cosine_topk", "latest_event_per_user", "text_stats",
                  "doc_fingerprint", "lang_id", "dedup_embedding",
                  "gopher_repetition", "decontaminate_ngrams",
-                 "url_dedup_canonical"]:
+                 "url_dedup_canonical", "chunk_dedup_c4", "unigram_logprob"]:
         timed(name, lambda name=name: Q.QUERIES[name](spark, sf_dir))
 
     # round 3 turned the dedup_minhash/dedup_simhash REGISTRY entries into

@@ -63,3 +63,44 @@ def run_stream_to_completion(
         spark, pages_path, out_dir, checkpoint_dir, max_files_per_trigger
     )
     q.awaitTermination()
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 3,
+    watermark_delay: str = "30 days",
+) -> None:
+    """Ingest-time streaming dedup with BOUNDED state: recrawl duplicates
+    of a url arriving across micro-batches are dropped by
+    dropDuplicatesWithinWatermark — the key's dedup state is evicted once
+    the watermark passes it by `watermark_delay` (the recrawl horizon), so
+    state size is O(urls per horizon window), not O(all urls ever seen).
+    This is the streaming-state eviction story (SURVEY.md §2.7 T5/T7) on
+    the dedup operator itself, complementing the per-batch dim reload.
+
+    The delay must cover the corpus's recrawl span (here the synthetic
+    recrawls arrive +1000 s after the original, far inside 30 days); a
+    shorter delay trades state for the chance of re-admitting a very late
+    recrawl — exactly the trade a production crawler tunes."""
+    schema = spark.read.parquet(pages_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_path)
+    )
+    deduped = (
+        src.withWatermark("warc_ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["url"])
+        .select("url", "lang", "warc_ts")
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
