@@ -1,0 +1,48 @@
+"""Skew-resilient large×large equi-join via key salting.
+
+The pipeline's own dim lookup broadcasts (operators/route.py — the
+TABLE_MAP analog, reader/reader.go:103-126 is a tiny in-memory map), so it
+never skews. This module covers the case broadcast can't: BOTH join sides
+are too big, and one join key is hot (a celebrity user, a boilerplate
+host). A plain shuffle join puts every hot-key row in one task; salting
+spreads the hot key across N_SALT tasks by (a) appending a salt drawn from
+a high-cardinality fact column to the fact side and (b) replicating the
+dim side once per salt value. Results are row-identical to the unsalted
+join (asserted in tests/test_skew.py); only the physical distribution
+changes. AQE's skewedJoin covers sort-merge spills at runtime; explicit
+salting is the static variant that also works for shuffled-hash joins and
+for groupBy-style hot keys (operators/aggregate.py::sink_counts_salted is
+the aggregation twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_SALT_DEFAULT = 8
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: Column,
+    n_salt: int = N_SALT_DEFAULT,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `fact` with `dim` on `key`, salted n_salt ways.
+
+    salt_src must be a high-cardinality FACT column (e.g. the event id):
+    salting on the key itself would send each key to one salt bucket and
+    change nothing. The dim side is replicated n_salt× (explode of a salt
+    array — map-side, no shuffle of its own), so dim shuffle volume grows
+    n_salt×: pick n_salt ~ (hot-key rows / target rows per task), not
+    large. The merge hint pins the shuffle join this operator exists for
+    (broadcast would bypass the salt entirely)."""
+    salts = F.array(*[F.lit(i) for i in range(n_salt)])
+    dimx = dim.withColumn("__salt", F.explode(salts))
+    factx = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int")
+    )
+    return factx.join(dimx.hint("merge"), [key, "__salt"], how).drop("__salt")

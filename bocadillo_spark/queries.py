@@ -1712,6 +1712,101 @@ def q_url_dedup_canonical(spark, sf_dir):
     return url_dedup(recrawl_variants(synth_pages(spark, sf_dir)))
 
 
+@query(
+    "host_quality_gate",
+    f"""WITH {pages_cte_sql()}
+    SELECT host_id,
+      CAST(count(*) AS BIGINT) AS n_pages,
+      CAST(sum(CASE WHEN empty_html THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+      CAST(sum(CASE WHEN empty_html THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        AS empty_rate,
+      (CAST(sum(CASE WHEN empty_html THEN 1 ELSE 0 END) AS DOUBLE) / count(*) > 0.05
+       OR host_id % 13 = 5) AS gated
+    FROM pages GROUP BY host_id""",
+)
+def q_host_quality_gate(spark, sf_dir):
+    """Domain-level reputation gating (the UT1-blocklist / domain-filter
+    step of a web corpus pipeline): per-host page counts + empty-payload
+    rate from the REAL page bytes, gate = bad-rate threshold OR
+    deterministic blocklist membership. One map-side-combined groupBy on
+    host_id; the per-host stats table is tiny and would broadcast into the
+    corpus filter (the P4 whitelist analog at domain granularity)."""
+    pages = synth_pages(spark, sf_dir)
+    host_id = F.regexp_extract("url", r"https://h(\d+)\.", 1).cast("int")
+    empty = (F.length("html") == 0).cast("int")
+    base = pages.select(host_id.alias("host_id"), empty.alias("empty"))
+    return base.groupBy("host_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum("empty").cast("long").alias("n_empty"),
+        (F.sum("empty").cast("double") / F.count(F.lit(1))).alias("empty_rate"),
+        (
+            (F.sum("empty").cast("double") / F.count(F.lit(1)) > 0.05)
+            | (F.pmod(F.col("host_id"), F.lit(13)) == 5)
+        ).alias("gated"),
+    )
+
+
+@query(
+    "salted_skew_join",
+    """WITH f AS (
+         SELECT event_id,
+                CASE WHEN event_type = 'click' THEN 'HOT'
+                     ELSE CAST(user_id AS VARCHAR) END AS skey
+         FROM events),
+       d AS (SELECT DISTINCT skey FROM f)
+    SELECT f.skey, CAST(count(*) AS BIGINT) AS n, md5(f.skey) AS attr
+    FROM f JOIN d USING (skey) GROUP BY f.skey""",
+)
+def q_salted_skew_join(spark, sf_dir):
+    """Skew-resilient large×large join: ~25% of fact rows share one hot
+    key ('HOT' — every click); the salted join spreads them across 8
+    tasks by salting the fact side from event_id and replicating the dim
+    8×. Graded against the plain-SQL join truth — salting must not change
+    a single row (physical redistribution only)."""
+    from .operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    skey = F.when(F.col("event_type") == "click", F.lit("HOT")).otherwise(
+        F.col("user_id").cast("string")
+    )
+    fact = ev.select("event_id", skey.alias("skey"))
+    dim = fact.select("skey").distinct().withColumn(
+        "attr", F.md5(F.encode(F.col("skey"), "UTF-8"))
+    )
+    joined = salted_join(fact, dim, "skey", salt_src=F.col("event_id"))
+    return joined.groupBy("skey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("attr").alias("attr"),
+    )
+
+
+@query(
+    "corpus_top_bigrams",
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         FROM documents),
+       g AS (SELECT unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS gram FROM w),
+       c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gram)
+    SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT 20""",
+)
+def q_corpus_top_bigrams(spark, sf_dir):
+    """Tokenizer-training first step (BPE merge candidates): corpus-wide
+    word-bigram counts, global top-20 with a deterministic gram tiebreak.
+    Scale shape: the gram space is huge but the aggregate is map-side
+    combined, and the top-k is TakeOrderedAndProject (per-partition heap →
+    tiny driver merge), never a global sort of the gram table."""
+    from .operators.textops import _word_ngrams, _words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(_word_ngrams(_words_col(), 2)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )
+
+
 @query("chunk_dedup_c4", chunk_dedup_oracle_sql())
 def q_chunk_dedup_c4(spark, sf_dir):
     """C4-style inter-document chunk dedup (Raffel et al. 2020 §2.2):
@@ -2233,7 +2328,8 @@ def q_ann_cosine_topk(spark, sf_dir):
 #   byte-for-byte the r01/r02-green ones (displaced for b2: top_users_by_value,
 #   latest_page_version, json_extract_agg, session_window_stats,
 #   range_join_value_bands, stratified_sample_split, data_quality_report,
-#   variant_props_stats — all r02-green, unchanged).
+#   variant_props_stats, sessionize, events_windowed_counts,
+#   latest_event_per_user — all r02-green, unchanged).
 _GRADE_FIRST = [
     # (a) oracle-backed, never/stale driver-graded before this round
     "dedup_clusters",
@@ -2268,6 +2364,9 @@ _GRADE_FIRST = [
     "unigram_logprob",
     "lang_sampling_weights",
     "streaming_dedup_urls",
+    "host_quality_gate",
+    "salted_skew_join",
+    "corpus_top_bigrams",
     # (c) implementation changed this round -> re-grade
     "value_rank_distribution",
     "route_counts_streaming",
@@ -2286,9 +2385,6 @@ _GRADE_FIRST = [
     "large_join_revenue_by_status",
     "q3_shipping_priority",
     "q10_returned_items",
-    "latest_event_per_user",
-    "sessionize",
-    "events_windowed_counts",
     "dedup_exact",
 ]
 

@@ -87,3 +87,37 @@ def test_two_pass_global_rank_equals_window(spark, sf_dir):
         for r in totals.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert n == len(want) and got == want
+
+
+def test_salted_join_equals_plain_join_and_stays_shuffled(spark, sf_dir):
+    """Salting must be a pure physical redistribution: row-identical to
+    the plain join, and the plan must actually BE a shuffle join (a
+    broadcast would bypass the salt — the operator exists for the case
+    where broadcast is impossible)."""
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    skey = F.when(F.col("event_type") == "click", F.lit("HOT")).otherwise(
+        F.col("user_id").cast("string")
+    )
+    fact = ev.select("event_id", skey.alias("skey"))
+    dim = fact.select("skey").distinct().withColumn(
+        "attr", F.md5(F.encode(F.col("skey"), "UTF-8"))
+    )
+    salted = salted_join(fact, dim, "skey", salt_src=F.col("event_id"))
+    plain = fact.join(dim, "skey")
+
+    plan = salted._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+    a = sorted(tuple(r) for r in salted.select("skey", "event_id", "attr").collect())
+    b = sorted(tuple(r) for r in plain.select("skey", "event_id", "attr").collect())
+    assert a == b and len(a) == ev.count()
+    # the hot key is really hot: ~25% of fact rows share it
+    hot = sum(1 for r in a if r[0] == "HOT")
+    assert hot > len(a) // 10
