@@ -1781,6 +1781,60 @@ def q_salted_skew_join(spark, sf_dir):
 
 
 @query(
+    "incremental_dedup",
+    """WITH corpus AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 7),
+       inc AS (
+         SELECT doc_id, lang, md5(text) AS fp
+         FROM documents WHERE doc_id % 10 = 7
+         UNION ALL
+         SELECT doc_id + 1000000, lang, md5(text)
+         FROM documents WHERE doc_id % 10 <> 7 AND doc_id % 9 = 2),
+       novel AS (
+         SELECT i.* FROM inc i
+         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = i.fp))
+    SELECT i.lang,
+           CAST(count(*) AS BIGINT) AS n_increment,
+           CAST(count(*) - count(n.doc_id) AS BIGINT) AS n_dropped,
+           CAST(count(n.doc_id) AS BIGINT) AS n_kept
+    FROM inc i LEFT JOIN novel n USING (doc_id, lang)
+    GROUP BY i.lang""",
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental-crawl ingestion dedup: the daily increment (novel docs
+    doc_id % 10 == 7 plus deterministic re-ingestions of corpus docs —
+    the exact-duplicate recrawls a crawler always sees) is admitted only
+    if its content fingerprint is absent from the historical corpus
+    store. The increment is tiny relative to the store (1:10000 in
+    production), so the LEFT ANTI probe is the shape that scales: at
+    100 TB the store is a fingerprint-bucketed table the batch
+    bucket-joins co-located (the full corpus text is never reread, only
+    its fingerprint column)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.encode("text", "UTF-8")).alias("fp")
+    in_corpus = F.col("doc_id") % 10 != 7
+    corpus = docs.where(in_corpus).select(fp)
+    inc = (
+        docs.where(~in_corpus)
+        .select("doc_id", "lang", fp)
+        .unionByName(
+            docs.where(in_corpus & (F.col("doc_id") % 9 == 2)).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "lang", fp
+            )
+        )
+    )
+    kept = inc.join(corpus, "fp", "left_anti")
+    return (
+        inc.join(kept.select("doc_id", F.lit(1).alias("k")), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_increment"),
+            F.count(F.when(F.col("k").isNull(), F.lit(1))).cast("long").alias("n_dropped"),
+            F.count("k").cast("long").alias("n_kept"),
+        )
+    )
+
+
+@query(
     "corpus_top_bigrams",
     """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
          FROM documents),
@@ -2329,7 +2383,7 @@ def q_ann_cosine_topk(spark, sf_dir):
 #   latest_page_version, json_extract_agg, session_window_stats,
 #   range_join_value_bands, stratified_sample_split, data_quality_report,
 #   variant_props_stats, sessionize, events_windowed_counts,
-#   latest_event_per_user — all r02-green, unchanged).
+#   latest_event_per_user, dedup_exact — all r02-green, unchanged).
 _GRADE_FIRST = [
     # (a) oracle-backed, never/stale driver-graded before this round
     "dedup_clusters",
@@ -2367,6 +2421,7 @@ _GRADE_FIRST = [
     "host_quality_gate",
     "salted_skew_join",
     "corpus_top_bigrams",
+    "incremental_dedup",
     # (c) implementation changed this round -> re-grade
     "value_rank_distribution",
     "route_counts_streaming",
@@ -2385,7 +2440,6 @@ _GRADE_FIRST = [
     "large_join_revenue_by_status",
     "q3_shipping_priority",
     "q10_returned_items",
-    "dedup_exact",
 ]
 
 
