@@ -172,7 +172,9 @@ def main() -> None:
                  "ann_cosine_topk", "latest_event_per_user", "text_stats",
                  "doc_fingerprint", "lang_id", "dedup_embedding",
                  "gopher_repetition", "decontaminate_ngrams",
-                 "url_dedup_canonical", "chunk_dedup_c4", "unigram_logprob"]:
+                 "url_dedup_canonical", "chunk_dedup_c4", "unigram_logprob",
+                 "boilerplate_removal", "token_entropy", "incremental_dedup",
+                 "salted_skew_join"]:
         timed(name, lambda name=name: Q.QUERIES[name](spark, sf_dir))
 
     # round 3 turned the dedup_minhash/dedup_simhash REGISTRY entries into

@@ -260,3 +260,167 @@ SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
        round(pw / z, 6) AS sample_weight,
        CAST(round(100000 * pw / z, 0) AS BIGINT) AS docs_per_100k
 FROM p CROSS JOIN s"""
+
+
+# Boilerplate planting: a 12-word site footer (one chunk exactly) prepended
+# to most docs of a source — the shared-template chunk a real site injects.
+BOILER_SKIP_MOD = 3  # doc_id % 3 == 1 docs carry no footer (organic pages)
+BOILER_DOC_FRAC = 0.25  # chunk is boilerplate if in > 25% of a source's docs
+
+
+def _footer_words_sql(source_expr: str) -> str:
+    return (
+        f"'site ' || {source_expr} || "
+        "' home about contact terms privacy policy careers press blog help'"
+    )
+
+
+def _footer_col():
+    return F.concat(
+        F.lit("site "),
+        F.col("source"),
+        F.lit(" home about contact terms privacy policy careers press blog help"),
+    )
+
+
+def boilerplate_chunks(docs: DataFrame) -> DataFrame:
+    """Site-template boilerplate removal (the RefinedWeb/jusText-style
+    frequency heuristic, corpus-scale): a chunk is boilerplate iff it
+    occurs in > BOILER_DOC_FRAC of its source's documents; ALL its
+    occurrences are removed (unlike chunk_dedup's keep-first). A 12-word
+    per-source footer is planted on most docs so the heuristic has a real
+    target; organic chunks stay under the threshold.
+
+    Scale shape: explode → count DISTINCT docs per (source, chunk) — one
+    shuffle, partial distinct map-side — against the tiny per-source doc
+    totals (broadcast); then reassemble per doc. No per-row quadratics,
+    no all-pairs anything."""
+    k = CHUNK_WORDS
+    planted = F.when(
+        F.col("doc_id") % BOILER_SKIP_MOD == 1, F.col("text")
+    ).otherwise(F.concat(_footer_col(), F.lit(" "), F.col("text")))
+    ws = F.filter(F.split(planted, " "), lambda x: x != "")
+    nch = F.ceil(F.size(ws) / F.lit(float(k))).cast("int")
+    chunks = F.when(
+        F.size(ws) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda j: F.array_join(F.slice(ws, j * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select(
+        "doc_id", "source", F.posexplode(chunks).alias("pos", "chunk")
+    )
+    per_chunk = ex.groupBy("source", "chunk").agg(
+        F.count_distinct("doc_id").alias("n_docs_with")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    boiler = (
+        per_chunk.join(F.broadcast(per_source), "source")
+        .where(
+            F.col("n_docs_with").cast("double") / F.col("n_docs")
+            > BOILER_DOC_FRAC
+        )
+        .select("source", "chunk", F.lit(1).alias("is_boiler"))
+    )
+    tagged = ex.join(boiler, ["source", "chunk"], "left")
+    kept_struct = F.when(
+        F.col("is_boiler").isNull(), F.struct(F.col("pos"), F.col("chunk"))
+    )
+    agg = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count("is_boiler").cast("long").alias("n_boiler"),
+        _md5_utf8(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s.chunk
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            F.coalesce(F.col("clean_md5"), _md5_utf8(F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+def boilerplate_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of boilerplate_chunks (same footer, mods, threshold)."""
+    k = CHUNK_WORDS
+    return f"""WITH p AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % {BOILER_SKIP_MOD} = 1 THEN text
+         ELSE {_footer_words_sql('source')} || ' ' || text END AS planted
+  FROM {table}),
+w AS (SELECT doc_id, source,
+        list_filter(string_split(planted, ' '), x -> x <> '') AS ws FROM p),
+w2 AS (SELECT doc_id, source, ws, CAST(ceil(len(ws) / {k}.0) AS INT) AS nch FROM w),
+ch AS (
+  SELECT doc_id, source,
+         unnest(range(0, nch)) AS pos,
+         unnest(list_transform(range(0, nch),
+                j -> array_to_string(ws[j*{k}+1 : j*{k}+{k}], ' '))) AS chunk
+  FROM w2),
+pc AS (SELECT source, chunk, count(DISTINCT doc_id) AS n_docs_with
+       FROM ch GROUP BY source, chunk),
+ps AS (SELECT source, count(*) AS n_docs FROM {table} GROUP BY source),
+b AS (SELECT pc.source, pc.chunk, 1 AS is_boiler
+      FROM pc JOIN ps USING (source)
+      WHERE CAST(n_docs_with AS DOUBLE) / n_docs > {BOILER_DOC_FRAC}),
+t AS (SELECT ch.doc_id, ch.pos, ch.chunk, b.is_boiler
+      FROM ch LEFT JOIN b ON ch.source = b.source AND ch.chunk = b.chunk),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(count(is_boiler) AS BIGINT) AS n_boiler,
+         md5(coalesce(string_agg(CASE WHEN is_boiler IS NULL THEN chunk END,
+                                 ' ' ORDER BY pos), '')) AS clean_md5
+  FROM t GROUP BY doc_id)
+SELECT d.doc_id, d.source,
+       coalesce(a.n_chunks, 0) AS n_chunks,
+       coalesce(a.n_boiler, 0) AS n_boiler,
+       coalesce(a.clean_md5, md5('')) AS clean_md5
+FROM {table} d LEFT JOIN agg a USING (doc_id)"""
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document token (Shannon) entropy in nats — the low-entropy
+    side of Gopher's repetition family (a 200-token doc of one repeated
+    word scores ~0). Two-level groupBy: (doc, word) counts then per-doc
+    -sum(p ln p); both shuffles are map-side combined and keyed by
+    doc_id, so the corpus is never globally mixed."""
+    wexp = docs.select("doc_id", F.explode(_words_col()).alias("word"))
+    wc = wexp.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    totals = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        wc.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+    )
+
+
+def entropy_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of token_entropy."""
+    return f"""WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM {table}),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+t AS (SELECT doc_id, sum(c) AS n FROM wc GROUP BY doc_id)
+SELECT wc.doc_id, CAST(max(t.n) AS BIGINT) AS n_tokens,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+         AS entropy_nats
+FROM wc JOIN t USING (doc_id) GROUP BY wc.doc_id"""

@@ -1502,7 +1502,9 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 from .operators.cleanops import (  # noqa: E402
+    boilerplate_oracle_sql,
     chunk_dedup_oracle_sql,
+    entropy_oracle_sql,
     pii_oracle_sql,
     sampling_oracle_sql,
     unigram_oracle_sql,
@@ -1892,6 +1894,28 @@ def q_unigram_logprob(spark, sf_dir):
     from .operators.cleanops import unigram_logprob
 
     return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query("boilerplate_removal", boilerplate_oracle_sql())
+def q_boilerplate_removal(spark, sf_dir):
+    """Site-template boilerplate removal (frequency heuristic): chunks in
+    > 25% of a source's documents (a planted 12-word per-source footer)
+    are removed from ALL documents — the jusText/RefinedWeb shape,
+    complementing chunk_dedup_c4's keep-first rule. Graded on counts +
+    cleaned-text md5 exactly."""
+    from .operators.cleanops import boilerplate_chunks
+
+    return boilerplate_chunks(_t(spark, sf_dir, "documents"))
+
+
+@query("token_entropy", entropy_oracle_sql())
+def q_token_entropy(spark, sf_dir):
+    """Per-document token Shannon entropy (nats) — the low-diversity
+    quality gate from Gopher's repetition family; two map-side-combined
+    doc-keyed shuffles, corpus never globally mixed."""
+    from .operators.cleanops import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
 
 
 @query("lang_sampling_weights", sampling_oracle_sql())
@@ -2383,7 +2407,8 @@ def q_ann_cosine_topk(spark, sf_dir):
 #   latest_page_version, json_extract_agg, session_window_stats,
 #   range_join_value_bands, stratified_sample_split, data_quality_report,
 #   variant_props_stats, sessionize, events_windowed_counts,
-#   latest_event_per_user, dedup_exact — all r02-green, unchanged).
+#   latest_event_per_user, dedup_exact, q3_shipping_priority,
+#   q10_returned_items — all r02-green, unchanged).
 _GRADE_FIRST = [
     # (a) oracle-backed, never/stale driver-graded before this round
     "dedup_clusters",
@@ -2422,6 +2447,8 @@ _GRADE_FIRST = [
     "salted_skew_join",
     "corpus_top_bigrams",
     "incremental_dedup",
+    "boilerplate_removal",
+    "token_entropy",
     # (c) implementation changed this round -> re-grade
     "value_rank_distribution",
     "route_counts_streaming",
@@ -2438,8 +2465,6 @@ _GRADE_FIRST = [
     "q1_pricing_summary",
     "revenue_by_nation",
     "large_join_revenue_by_status",
-    "q3_shipping_priority",
-    "q10_returned_items",
 ]
 
 

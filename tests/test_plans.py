@@ -211,7 +211,8 @@ def test_cleanops_plans_python_free_and_broadcast(spark, sf_dir):
     from bocadillo_spark.queries import QUERIES
 
     for name in ("chunk_dedup_c4", "pii_redaction", "unigram_logprob",
-                 "lang_sampling_weights"):
+                 "lang_sampling_weights", "boilerplate_removal",
+                 "token_entropy", "corpus_top_bigrams", "incremental_dedup"):
         plan = _formatted(QUERIES[name](spark, sf_dir))
         for bad in ("MapInPandas", "ArrowEval", "BatchEvalPython",
                     "CartesianProduct"):
