@@ -1896,6 +1896,37 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "export_training_shards",
+    """WITH t AS (SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+       FROM documents),
+       tot AS (SELECT CAST(ceil(CAST(sum(n) AS DOUBLE) / 20000) AS BIGINT) AS ns
+               FROM t)
+    SELECT CAST(doc_id % ns AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS shard_tokens
+    FROM t CROSS JOIN tot GROUP BY doc_id % ns""",
+)
+def q_export_training_shards(spark, sf_dir):
+    """Training-data packaging: write the corpus as token-budgeted JSONL
+    shards (n_shards = ceil(total_tokens / 20k), shard = doc_id %
+    n_shards, partitionBy(shard)), then grade per-shard doc/token counts
+    by READING BACK the written artifact — the export is on trial, not
+    the plan that produced it. Deterministic shard math keeps the oracle
+    exact."""
+    from .plans.export import (
+        export_shards_workspace,
+        read_shard_stats,
+        write_training_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = export_shards_workspace(sf_dir)
+    write_training_shards(docs, out)
+    return read_shard_stats(spark, out)
+
+
 @query("boilerplate_removal", boilerplate_oracle_sql())
 def q_boilerplate_removal(spark, sf_dir):
     """Site-template boilerplate removal (frequency heuristic): chunks in
@@ -2408,7 +2439,8 @@ def q_ann_cosine_topk(spark, sf_dir):
 #   range_join_value_bands, stratified_sample_split, data_quality_report,
 #   variant_props_stats, sessionize, events_windowed_counts,
 #   latest_event_per_user, dedup_exact, q3_shipping_priority,
-#   q10_returned_items — all r02-green, unchanged).
+#   q10_returned_items, large_join_revenue_by_status — all r02-green,
+#   unchanged).
 _GRADE_FIRST = [
     # (a) oracle-backed, never/stale driver-graded before this round
     "dedup_clusters",
@@ -2449,6 +2481,7 @@ _GRADE_FIRST = [
     "incremental_dedup",
     "boilerplate_removal",
     "token_entropy",
+    "export_training_shards",
     # (c) implementation changed this round -> re-grade
     "value_rank_distribution",
     "route_counts_streaming",
@@ -2464,7 +2497,6 @@ _GRADE_FIRST = [
     "top_hosts",
     "q1_pricing_summary",
     "revenue_by_nation",
-    "large_join_revenue_by_status",
 ]
 
 
