@@ -1897,6 +1897,91 @@ def q_unigram_logprob(spark, sf_dir):
 
 
 @query(
+    "funnel_conversion",
+    """WITH e AS (SELECT user_id, event_type, ts FROM events
+                  WHERE ts < TIMESTAMP '2024-01-03'),
+       v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS v
+             FROM e GROUP BY user_id),
+       c AS (SELECT e.user_id, min(ts) AS c FROM e JOIN v USING (user_id)
+             WHERE event_type = 'click' AND ts > v GROUP BY e.user_id),
+       p AS (SELECT e.user_id, min(ts) AS p FROM e JOIN c USING (user_id)
+             WHERE event_type = 'purchase' AND ts > c GROUP BY e.user_id),
+       s AS (SELECT v.user_id,
+               CASE WHEN p.p IS NOT NULL THEN 3
+                    WHEN c.c IS NOT NULL THEN 2
+                    WHEN v.v IS NOT NULL THEN 1 ELSE 0 END AS stage
+             FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+    SELECT CAST(stage AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_users
+    FROM s GROUP BY stage""",
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view → click-after-view → purchase-after-click)
+    over the first 2 days of events, per-user stage reached → stage
+    counts. Each stage is a conditional min + strictly-after filter —
+    three user_id-keyed map-side-combined aggregates, co-partitioned so
+    the joins between stages reuse one shuffle layout at scale."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts") < "2024-01-03")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v")
+    )
+    c = (
+        ev.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("v")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("c")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    stage = (
+        F.when(F.col("p").isNotNull(), 3)
+        .when(F.col("c").isNotNull(), 2)
+        .when(F.col("v").isNotNull(), 1)
+        .otherwise(0)
+    )
+    s = v.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        stage.cast("long").alias("stage")
+    )
+    return s.groupBy("stage").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@query(
+    "cohort_retention",
+    """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+                  FROM events GROUP BY user_id),
+       a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM f JOIN a USING (user_id)
+    WHERE date_diff('day', f.cohort, a.d) BETWEEN 0 AND 6
+    GROUP BY 1, 2""",
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, distinct
+    active users per day-offset 0-6 — the activation dashboard every
+    event pipeline feeds. Two user_id-keyed aggregates + one small-key
+    re-agg; the distinct day activity is map-side partial so the event
+    table is shuffled once."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort"))
+    a = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    j = f.join(a, "user_id").withColumn(
+        "day_offset", F.datediff("d", "cohort").cast("long")
+    )
+    return (
+        j.where(F.col("day_offset").between(0, 6))
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"), "day_offset"
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+@query(
     "export_training_shards",
     """WITH t AS (SELECT doc_id,
          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
@@ -2439,8 +2524,8 @@ def q_ann_cosine_topk(spark, sf_dir):
 #   range_join_value_bands, stratified_sample_split, data_quality_report,
 #   variant_props_stats, sessionize, events_windowed_counts,
 #   latest_event_per_user, dedup_exact, q3_shipping_priority,
-#   q10_returned_items, large_join_revenue_by_status — all r02-green,
-#   unchanged).
+#   q10_returned_items, large_join_revenue_by_status, meta_lang_counts,
+#   top_hosts — all r02-green, unchanged).
 _GRADE_FIRST = [
     # (a) oracle-backed, never/stale driver-graded before this round
     "dedup_clusters",
@@ -2482,6 +2567,8 @@ _GRADE_FIRST = [
     "boilerplate_removal",
     "token_entropy",
     "export_training_shards",
+    "funnel_conversion",
+    "cohort_retention",
     # (c) implementation changed this round -> re-grade
     "value_rank_distribution",
     "route_counts_streaming",
@@ -2493,8 +2580,6 @@ _GRADE_FIRST = [
     "route_metrics",
     "parse_events_typed",
     "text_extraction_hash",
-    "meta_lang_counts",
-    "top_hosts",
     "q1_pricing_summary",
     "revenue_by_nation",
 ]
