@@ -1982,6 +1982,68 @@ def q_cohort_retention(spark, sf_dir):
 
 
 @query(
+    "daily_activity_gapfill",
+    """WITH b AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0,
+                  CAST(max(ts) AS DATE) AS d1 FROM events GROUP BY user_id),
+       cal AS (SELECT user_id,
+                 CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+               FROM b),
+       a AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+             FROM events GROUP BY user_id, CAST(ts AS DATE))
+    SELECT cal.user_id, strftime(cal.d, '%Y-%m-%d') AS day,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+    FROM cal LEFT JOIN a USING (user_id, d)""",
+)
+def q_daily_activity_gapfill(spark, sf_dir):
+    """Time-series densification: per-user daily event counts with
+    ZERO-FILLED gaps between first and last activity (the resample step
+    before any per-user trend model). The calendar is generated per user
+    with native sequence() over dates — O(span) rows map-side, no driver
+    loop, no cross join against a global calendar; one user_id-keyed
+    shuffle for the counts, then a co-partitioned left join."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("d0"), F.max("ts").cast("date").alias("d1")
+    )
+    cal = b.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    a = ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cal.join(a, ["user_id", "d"], "left").select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "event_transitions",
+    """WITH o AS (SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       FROM events)
+    SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+    FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type""",
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order behavioral transition matrix: per-user event sequences
+    (ordered by ts with an event_id tiebreak) lag-joined to themselves,
+    counting prev→next pairs — the Markov-chain input for sequence
+    modeling. One user_id-keyed window pass + a tiny 25-key aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    return (
+        o.groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
     "export_training_shards",
     """WITH t AS (SELECT doc_id,
          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
@@ -2525,7 +2587,10 @@ def q_ann_cosine_topk(spark, sf_dir):
 #   variant_props_stats, sessionize, events_windowed_counts,
 #   latest_event_per_user, dedup_exact, q3_shipping_priority,
 #   q10_returned_items, large_join_revenue_by_status, meta_lang_counts,
-#   top_hosts — all r02-green, unchanged).
+#   top_hosts, q1_pricing_summary, revenue_by_nation — all r02-green,
+#   unchanged; the permanent core (route_counts, route_metrics,
+#   parse_events_typed, text_extraction_hash + the streaming/CDC five)
+#   stays in-window every round).
 _GRADE_FIRST = [
     # (a) oracle-backed, never/stale driver-graded before this round
     "dedup_clusters",
@@ -2569,6 +2634,8 @@ _GRADE_FIRST = [
     "export_training_shards",
     "funnel_conversion",
     "cohort_retention",
+    "daily_activity_gapfill",
+    "event_transitions",
     # (c) implementation changed this round -> re-grade
     "value_rank_distribution",
     "route_counts_streaming",
@@ -2580,8 +2647,6 @@ _GRADE_FIRST = [
     "route_metrics",
     "parse_events_typed",
     "text_extraction_hash",
-    "q1_pricing_summary",
-    "revenue_by_nation",
 ]
 
 
