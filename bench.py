@@ -103,7 +103,9 @@ def scaling_pairs(pages_path: str, small: int = 1, big: int = 4, pairs: int = 2)
         small_ts.append(round(t_s, 2))
         big_ts.append(round(t_b, 2))
         effs.append((t_s / t_b) / (big / small))
-    effs.sort()
+    # NOTE: effs stays in pair order here — sorting it before the zip below
+    # mispairs each pair's times with another pair's efficiency in the
+    # persisted history (bug fixed round 3; history recomputed from raw times)
     # accumulate pairs across runs (repo-persisted): the VM's sustained
     # capacity swings 3-21 effective cores between runs, so any single
     # run's pairs may land in a throttled window; the median over ALL
@@ -125,13 +127,14 @@ def scaling_pairs(pages_path: str, small: int = 1, big: int = 4, pairs: int = 2)
     except OSError:
         pass
     all_effs = sorted(p["eff"] for p in history["pairs"])
+    effs_sorted = sorted(effs)
     return {
         "small_cores": small,
         "big_cores": big,
         "small_sec": small_ts,
         "big_sec": big_ts,
         "efficiency_per_pair": [round(e, 3) for e in effs],
-        "efficiency_this_run": round(min(1.0, effs[len(effs) // 2]), 3),
+        "efficiency_this_run": round(min(1.0, effs_sorted[len(effs_sorted) // 2]), 3),
         "efficiency": round(min(1.0, all_effs[len(all_effs) // 2]), 3),
         "history_n_pairs": len(all_effs),
     }

@@ -42,6 +42,37 @@ def _md5_utf8(col):
     return F.md5(F.encode(col, "UTF-8"))
 
 
+def _chunks_col(ws):
+    """Non-overlapping CHUNK_WORDS-token chunk array over a words column
+    (empty-safe: a 0-word doc yields []). THE single chunker — chunk_dedup
+    and boilerplate_chunks (and their SQL twins via _chunk_explode_sql)
+    must chunk identically or the md5-exact parity breaks."""
+    k = CHUNK_WORDS
+    nch = F.ceil(F.size(ws) / F.lit(float(k))).cast("int")
+    return F.when(
+        F.size(ws) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda j: F.array_join(F.slice(ws, j * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _chunk_explode_sql(extra_cols: str = "") -> str:
+    """DuckDB twin of _chunks_col + posexplode: w2/ch CTE bodies over a
+    preceding CTE `w(doc_id, {extra_cols}, ws)` → ch(doc_id, {extra_cols},
+    pos, chunk)."""
+    k = CHUNK_WORDS
+    cols = f"doc_id{', ' + extra_cols if extra_cols else ''}"
+    return f"""w2 AS (SELECT {cols}, ws, CAST(ceil(len(ws) / {k}.0) AS INT) AS nch FROM w),
+ch AS (
+  SELECT {cols},
+         unnest(range(0, nch)) AS pos,
+         unnest(list_transform(range(0, nch),
+                j -> array_to_string(ws[j*{k}+1 : j*{k}+{k}], ' '))) AS chunk
+  FROM w2)"""
+
+
 def chunk_dedup(docs: DataFrame) -> DataFrame:
     """C4-style inter-document exact chunk dedup: split every document
     into non-overlapping CHUNK_WORDS-token chunks, keep only the globally
@@ -56,16 +87,9 @@ def chunk_dedup(docs: DataFrame) -> DataFrame:
     quadratic scan; hot chunks (boilerplate repeated millions of times)
     stay a single window group whose rows are (doc_id, pos) pairs only —
     the chunk string itself is the key, never multiplied."""
-    ws = _words_col()
-    nch = F.ceil(F.size(ws) / F.lit(float(CHUNK_WORDS))).cast("int")
-    chunks = F.when(
-        F.size(ws) > 0,
-        F.transform(
-            F.sequence(F.lit(0), nch - 1),
-            lambda j: F.array_join(F.slice(ws, j * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = docs.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    ex = docs.select(
+        "doc_id", F.posexplode(_chunks_col(_words_col())).alias("pos", "chunk")
+    )
     rn = F.row_number().over(
         W.partitionBy("chunk").orderBy(F.asc("doc_id"), F.asc("pos"))
     )
@@ -97,18 +121,12 @@ def chunk_dedup(docs: DataFrame) -> DataFrame:
 
 
 def chunk_dedup_oracle_sql(table: str = "documents") -> str:
-    """DuckDB twin of chunk_dedup (same chunking, same keep-first rule)."""
-    k = CHUNK_WORDS
+    """DuckDB twin of chunk_dedup (same chunking via _chunk_explode_sql,
+    same keep-first rule)."""
     return f"""WITH w AS (
-  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
   FROM {table}),
-w2 AS (SELECT doc_id, ws, CAST(ceil(len(ws) / {k}.0) AS INT) AS nch FROM w),
-ch AS (
-  SELECT doc_id,
-         unnest(range(0, nch)) AS pos,
-         unnest(list_transform(range(0, nch),
-                j -> array_to_string(ws[j*{k}+1 : j*{k}+{k}], ' '))) AS chunk
-  FROM w2),
+{_chunk_explode_sql()},
 rk AS (
   SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
   FROM ch),
@@ -295,21 +313,19 @@ def boilerplate_chunks(docs: DataFrame) -> DataFrame:
     shuffle, partial distinct map-side — against the tiny per-source doc
     totals (broadcast); then reassemble per doc. No per-row quadratics,
     no all-pairs anything."""
-    k = CHUNK_WORDS
+    from .dedup import persist_evicting
+
     planted = F.when(
         F.col("doc_id") % BOILER_SKIP_MOD == 1, F.col("text")
     ).otherwise(F.concat(_footer_col(), F.lit(" "), F.col("text")))
     ws = F.filter(F.split(planted, " "), lambda x: x != "")
-    nch = F.ceil(F.size(ws) / F.lit(float(k))).cast("int")
-    chunks = F.when(
-        F.size(ws) > 0,
-        F.transform(
-            F.sequence(F.lit(0), nch - 1),
-            lambda j: F.array_join(F.slice(ws, j * k + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = docs.select(
-        "doc_id", "source", F.posexplode(chunks).alias("pos", "chunk")
+    # persisted: the split/chunk/posexplode subtree (the expensive stage)
+    # feeds BOTH the boiler-frequency branch and the tagged reassembly —
+    # without the persist it would execute twice per action
+    ex = persist_evicting(
+        docs.select(
+            "doc_id", "source", F.posexplode(_chunks_col(ws)).alias("pos", "chunk")
+        )
     )
     per_chunk = ex.groupBy("source", "chunk").agg(
         F.count_distinct("doc_id").alias("n_docs_with")
@@ -355,8 +371,8 @@ def boilerplate_chunks(docs: DataFrame) -> DataFrame:
 
 
 def boilerplate_oracle_sql(table: str = "documents") -> str:
-    """DuckDB twin of boilerplate_chunks (same footer, mods, threshold)."""
-    k = CHUNK_WORDS
+    """DuckDB twin of boilerplate_chunks (same footer, mods, threshold,
+    chunking via _chunk_explode_sql)."""
     return f"""WITH p AS (
   SELECT doc_id, source,
     CASE WHEN doc_id % {BOILER_SKIP_MOD} = 1 THEN text
@@ -364,13 +380,7 @@ def boilerplate_oracle_sql(table: str = "documents") -> str:
   FROM {table}),
 w AS (SELECT doc_id, source,
         list_filter(string_split(planted, ' '), x -> x <> '') AS ws FROM p),
-w2 AS (SELECT doc_id, source, ws, CAST(ceil(len(ws) / {k}.0) AS INT) AS nch FROM w),
-ch AS (
-  SELECT doc_id, source,
-         unnest(range(0, nch)) AS pos,
-         unnest(list_transform(range(0, nch),
-                j -> array_to_string(ws[j*{k}+1 : j*{k}+{k}], ' '))) AS chunk
-  FROM w2),
+{_chunk_explode_sql('source')},
 pc AS (SELECT source, chunk, count(DISTINCT doc_id) AS n_docs_with
        FROM ch GROUP BY source, chunk),
 ps AS (SELECT source, count(*) AS n_docs FROM {table} GROUP BY source),

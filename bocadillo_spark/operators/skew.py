@@ -39,7 +39,18 @@ def salted_join(
     array — map-side, no shuffle of its own), so dim shuffle volume grows
     n_salt×: pick n_salt ~ (hot-key rows / target rows per task), not
     large. The merge hint pins the shuffle join this operator exists for
-    (broadcast would bypass the salt entirely)."""
+    (broadcast would bypass the salt entirely).
+
+    Only fact-preserving join types are allowed: with the dim replicated,
+    a right/full outer would emit every UNMATCHED dim row n_salt times —
+    not row-identical to the plain join — so those are rejected."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only {sorted(allowed)}; "
+            f"got {how!r} (a replicated dim would multiply unmatched dim rows)"
+        )
     salts = F.array(*[F.lit(i) for i in range(n_salt)])
     dimx = dim.withColumn("__salt", F.explode(salts))
     factx = fact.withColumn(

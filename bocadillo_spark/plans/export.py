@@ -24,12 +24,15 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.textops import _words_col
+
 TOKENS_PER_SHARD_DEFAULT = 20_000
 
 
 def _tokens_col():
-    return F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-                           lambda x: x != ""))
+    # the ONE canonical tokenizer — shard budgets must count tokens the
+    # same way every other operator (and the export oracle) does
+    return F.size(_words_col())
 
 
 def write_training_shards(

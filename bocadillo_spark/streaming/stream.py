@@ -71,20 +71,26 @@ def run_dedup_stream(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 3,
-    watermark_delay: str = "30 days",
+    watermark_delay: str = "3650 days",
 ) -> None:
     """Ingest-time streaming dedup with BOUNDED state: recrawl duplicates
     of a url arriving across micro-batches are dropped by
     dropDuplicatesWithinWatermark — the key's dedup state is evicted once
-    the watermark passes it by `watermark_delay` (the recrawl horizon), so
-    state size is O(urls per horizon window), not O(all urls ever seen).
-    This is the streaming-state eviction story (SURVEY.md §2.7 T5/T7) on
-    the dedup operator itself, complementing the per-batch dim reload.
+    the watermark passes it by `watermark_delay`, so state size is
+    O(urls per horizon window), not O(all urls ever seen). This is the
+    streaming-state eviction story (SURVEY.md §2.7 T5/T7) on the dedup
+    operator itself, complementing the per-batch dim reload.
 
-    The delay must cover the corpus's recrawl span (here the synthetic
-    recrawls arrive +1000 s after the original, far inside 30 days); a
-    shorter delay trades state for the chance of re-admitting a very late
-    recrawl — exactly the trade a production crawler tunes."""
+    CAUTION — the delay must cover the full EVENT-TIME DISORDER of
+    arrival, not just the recrawl gap: a file source delivers files in
+    discovery order, so batch 1 may carry near-max warc_ts and advance
+    the watermark past older rows still waiting in later files — those
+    would then be dropped as late data entirely (rows lost, not just
+    duplicates). For a backfill over an unordered historical corpus that
+    means the whole corpus's warc_ts span (hence the deliberately huge
+    default); only a LIVE ingest whose arrival order tracks event time
+    can shrink it to the recrawl horizon and reap the state bound —
+    exactly the trade a production crawler tunes."""
     schema = spark.read.parquet(pages_path).schema
     src = (
         spark.readStream.schema(schema)

@@ -121,3 +121,20 @@ def test_salted_join_equals_plain_join_and_stays_shuffled(spark, sf_dir):
     # the hot key is really hot: ~25% of fact rows share it
     hot = sum(1 for r in a if r[0] == "HOT")
     assert hot > len(a) // 10
+
+
+def test_salted_join_rejects_dim_multiplying_join_types(spark, sf_dir):
+    """Outer types that preserve unmatched dim rows would emit them once
+    per salt replica — salted_join must refuse rather than silently
+    return n_salt-duplicated rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(10)
+    fact = ev.select("event_id", F.col("user_id").cast("string").alias("skey"))
+    dim = fact.select("skey").distinct()
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(fact, dim, "skey", salt_src=F.col("event_id"), how=how)
