@@ -221,3 +221,42 @@ def test_streaming_picks_up_late_arriving_files(spark, sf_dir):
 
         got = _counts_dict(read_sink_counts(spark, f"{tmp}/out"))
         assert got == _expected_counts(spark, sf_dir)
+
+
+def test_dedup_stream_state_survives_restart(spark, sf_dir):
+    """Cross-restart stateful dedup (T2 safepoint on the dedup operator):
+    phase 1 streams the originals to completion; phase 2 appends recrawl
+    duplicates as NEW input files and restarts the query on the same
+    checkpoint. The dedup state must be recovered from the state store —
+    every phase-2 row is a duplicate of a phase-1 url, so the output must
+    not grow by a single row."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.streaming.stream import run_dedup_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pages_path = write_pages(spark, sf_dir, f"{tmp}/pages", num_partitions=4)
+        pages = spark.read.parquet(pages_path)
+        stream_in, out, ckpt = f"{tmp}/in", f"{tmp}/dedup_out", f"{tmp}/dedup_ckpt"
+
+        pages.repartition(4).write.mode("overwrite").parquet(stream_in)
+        run_dedup_stream(spark, stream_in, out, ckpt, max_files_per_trigger=2)
+        n_urls = pages.select("url").distinct().count()
+        phase1 = spark.read.parquet(out).count()
+        assert phase1 == n_urls
+        offsets_before = len(glob.glob(f"{ckpt}/offsets/*"))
+
+        # phase 2: recrawls of ~1/3 of urls arrive as new files
+        recrawls = pages.where(F.pmod(F.xxhash64("url"), F.lit(3)) == 0).withColumn(
+            "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1000 SECONDS")
+        )
+        assert recrawls.count() > 0
+        recrawls.repartition(2).write.mode("append").parquet(stream_in)
+        run_dedup_stream(spark, stream_in, out, ckpt, max_files_per_trigger=2)
+
+        # the restarted query really discovered and processed the new files
+        assert len(glob.glob(f"{ckpt}/offsets/*")) > offsets_before
+        # ...and the recovered state deduped every one of them
+        assert spark.read.parquet(out).count() == n_urls
