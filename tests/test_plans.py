@@ -224,3 +224,24 @@ def test_cleanops_plans_python_free_and_broadcast(spark, sf_dir):
 
     plan = _formatted(QUERIES["pii_redaction"](spark, sf_dir))
     assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_repetition_arrayop_twin_equals_exploded_plan(spark, sf_dir):
+    """The shuffle-free array-expression variant of the Gopher repetition
+    scores must match the graded explode→agg plan row-for-row (same
+    fractions to the last double bit — both are int/int divisions), and
+    its plan must contain no Exchange at all."""
+    from bocadillo_spark.operators.textops import (
+        repetition_scores,
+        repetition_scores_arrayop,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"]: (r["top_bigram_frac"], r["dup_trigram_frac"], r["flagged"])
+         for r in repetition_scores(docs).collect()}
+    b = {r["doc_id"]: (r["top_bigram_frac"], r["dup_trigram_frac"], r["flagged"])
+         for r in repetition_scores_arrayop(docs).collect()}
+    assert a == b and len(a) > 0
+
+    plan = _formatted(repetition_scores_arrayop(docs))
+    assert "Exchange" not in plan
