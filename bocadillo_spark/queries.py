@@ -1912,25 +1912,33 @@ def q_bucketed_join_status(spark, sf_dir):
     large_join_revenue_by_status; only the physical layout differs, and
     the oracle can't tell them apart — which is the point."""
     import hashlib
+    import shutil
+    import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     li_t, o_t = f"li_bq_{tag}", f"ord_bq_{tag}"
-    if not spark.catalog.tableExists(li_t):
+
+    def _build(table: str, src: str, key: str) -> None:
+        # external path: the in-memory catalog dies with the session but
+        # a managed-table location would persist on disk and block the
+        # next session's CREATE (LOCATION_ALREADY_EXISTS) — so the data
+        # lives under /tmp and is rebuilt whenever the catalog entry is
+        # missing
+        if spark.catalog.tableExists(table):
+            return
+        loc = f"{tempfile.gettempdir()}/bocadillo_bucketed/{table}"
+        shutil.rmtree(loc, ignore_errors=True)
         (
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-            .write.bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
+            spark.read.parquet(f"{sf_dir}/{src}.parquet")
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", loc)
             .mode("overwrite")
-            .saveAsTable(li_t)
+            .saveAsTable(table)
         )
-    if not spark.catalog.tableExists(o_t):
-        (
-            spark.read.parquet(f"{sf_dir}/orders.parquet")
-            .write.bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .mode("overwrite")
-            .saveAsTable(o_t)
-        )
+
+    _build(li_t, "lineitem", "l_orderkey")
+    _build(o_t, "orders", "o_orderkey")
     li, o = spark.table(li_t), spark.table(o_t)
     return (
         li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)

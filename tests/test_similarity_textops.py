@@ -279,3 +279,32 @@ def test_url_dedup_collapses_variants(spark):
     assert got["https://h1.example.com/s/4"]["n_variants"] == 2
     assert got["https://h2.example.com/s/12"]["n_variants"] == 3
     assert got["https://h2.example.com/s/12"]["first_seen"] == "2024-01-01 00:00:12"
+
+
+def test_cleanops_empty_and_null_text_rows(spark):
+    """The synthetic corpus has no empty/NULL text, so the empty-array
+    guards in the cleanops chunkers are otherwise unexercised — pin them:
+    zero-token docs must survive with zero chunks (not crash, not emit
+    phantom rows)."""
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.cleanops import (
+        chunk_dedup,
+        pii_redaction,
+        token_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "", "en", "src0"), (2, None, "de", "src1"), (3, "a b", "en", "src0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(df).collect()}
+    assert len(out) == 3
+    assert out[1]["n_chunks"] == 0 and out[1]["n_kept"] == 0
+    assert out[2]["n_chunks"] == 0 and out[2]["n_kept"] == 0
+    assert out[3]["n_chunks"] == 1 and out[3]["n_kept"] == 1
+
+    # PII and entropy also tolerate empty/NULL text
+    assert pii_redaction(df).count() == 3
+    ent = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert 3 in ent and ent[3]["n_tokens"] == 2  # empty docs simply absent
