@@ -2643,10 +2643,11 @@ def q_ann_cosine_topk(spark, sf_dir):
 #   variant_props_stats, sessionize, events_windowed_counts,
 #   latest_event_per_user, dedup_exact, q3_shipping_priority,
 #   q10_returned_items, large_join_revenue_by_status, meta_lang_counts,
-#   top_hosts, q1_pricing_summary, revenue_by_nation — all r02-green,
-#   unchanged; the permanent core (route_counts, route_metrics,
-#   parse_events_typed, text_extraction_hash + the streaming/CDC five)
-#   stays in-window every round).
+#   top_hosts, q1_pricing_summary, revenue_by_nation, text_extraction_hash
+#   — all r02-green, unchanged; the core (route_counts, route_metrics,
+#   parse_events_typed + the streaming/CDC five) stays in-window, and
+#   bucketed_join_status takes the last slot as the only query with no
+#   prior driver row).
 _GRADE_FIRST = [
     # (a) oracle-backed, never/stale driver-graded before this round
     "dedup_clusters",
@@ -2702,7 +2703,7 @@ _GRADE_FIRST = [
     "route_counts",
     "route_metrics",
     "parse_events_typed",
-    "text_extraction_hash",
+    "bucketed_join_status",
 ]
 
 
