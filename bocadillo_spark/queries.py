@@ -1897,6 +1897,89 @@ def q_unigram_logprob(spark, sf_dir):
 
 
 @query(
+    "streaming_windowed_counts",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY 1, 2""",
+)
+def q_streaming_windowed_counts(spark, sf_dir):
+    """Event-time tumbling-window aggregation under a WATERMARK in append
+    mode, graded exactly: append mode only emits a window once the
+    watermark passes its end, so a naive bounded run would hold the final
+    windows open forever. A second phase appends one far-future sentinel
+    event and re-runs on the same checkpoint — its batch advances the
+    watermark past every real window (the sentinel's own window stays
+    open and is never emitted), making the emitted set deterministically
+    equal to the batch per-hour truth regardless of how files map to
+    micro-batches. This is the T7 watermark semantics under the driver
+    oracle, not just pytest."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}:v1".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"bocadillo_winagg_{tag}")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    done = f"{root}/_DONE"
+    ev = spark.read.parquet(src)
+
+    def run_once() -> None:
+        s = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(in_dir)
+            # watermarks need TIMESTAMP; driver tables carry TIMESTAMP_NTZ
+            # (identity under the pinned-UTC session, so the oracle's
+            # date_trunc over the raw column still matches)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            s.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        ev.repartition(4).write.parquet(in_dir)
+        run_once()
+        mx = ev.agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [(999_999_999, mx + timedelta(days=30), 0, "__sentinel__", 0.0, "{}")],
+            ev.schema,
+        )
+        sentinel.write.mode("append").parquet(in_dir)
+        run_once()
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.schema("window_start string, event_type string, n long")
+        .parquet(out_dir)
+        .where(F.col("event_type") != "__sentinel__")
+    )
+
+
+@query(
     "bucketed_join_status",
     """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -2643,11 +2726,11 @@ def q_ann_cosine_topk(spark, sf_dir):
 #   variant_props_stats, sessionize, events_windowed_counts,
 #   latest_event_per_user, dedup_exact, q3_shipping_priority,
 #   q10_returned_items, large_join_revenue_by_status, meta_lang_counts,
-#   top_hosts, q1_pricing_summary, revenue_by_nation, text_extraction_hash
-#   — all r02-green, unchanged; the core (route_counts, route_metrics,
-#   parse_events_typed + the streaming/CDC five) stays in-window, and
-#   bucketed_join_status takes the last slot as the only query with no
-#   prior driver row).
+#   top_hosts, q1_pricing_summary, revenue_by_nation, text_extraction_hash,
+#   parse_events_typed — all r01/r02-green, unchanged; route_counts and
+#   route_metrics stay in-window as the flagship core, and the two final
+#   slots go to bucketed_join_status and streaming_windowed_counts, the
+#   only queries with no prior driver row).
 _GRADE_FIRST = [
     # (a) oracle-backed, never/stale driver-graded before this round
     "dedup_clusters",
@@ -2702,8 +2785,8 @@ _GRADE_FIRST = [
     # (d) flagship + core, graded every round
     "route_counts",
     "route_metrics",
-    "parse_events_typed",
     "bucketed_join_status",
+    "streaming_windowed_counts",
 ]
 
 
