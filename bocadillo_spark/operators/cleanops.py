@@ -36,6 +36,10 @@ PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 
 # mT5/XLM-R style sampling temperature: p_l ∝ (n_l/N)^ALPHA.
 SAMPLE_ALPHA = 0.3
+# Pooled out-of-vocabulary bucket for unigram_logprob's bounded-vocab mode.
+# "\x00OOV" cannot collide with a real token (tokenizer splits on spaces and
+# source text is printable), so the union row never shadows a corpus word.
+OOV_TOKEN = "\x00OOV"
 
 
 def _md5_utf8(col):
@@ -206,22 +210,54 @@ SELECT doc_id,
 FROM p"""
 
 
-def unigram_logprob(docs: DataFrame) -> DataFrame:
+def unigram_logprob(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
     """CCNet-style LM quality proxy: score each document by the mean
     unigram log-probability of its tokens under the corpus's own unigram
     model (two-pass: vocabulary counts, then score). Low scorers are
     boilerplate/garbage candidates.
 
-    Scale shape: pass 1 is one map-side-combined groupBy(word) — the
-    vocabulary is Zipf-bounded (millions of rows from 100 TB of text, and
-    in production it would be truncated to top-V + an OOV bucket), so it
-    BROADCASTS; pass 2 is a map-side broadcast join of the exploded
-    corpus against the vocab plus one groupBy(doc_id). The corpus is
-    never shuffled on the word key."""
+    Scale shape: pass 1 is one map-side-combined groupBy(word); pass 2 is
+    a map-side broadcast join of the exploded corpus against the vocab
+    plus one groupBy(doc_id). The corpus is never shuffled on the word
+    key. `max_vocab` bounds the broadcast for a 100-TB corpus: the
+    vocabulary is truncated to the top-V words by count (deterministic
+    word tiebreak) and every remaining word scores through a single
+    pooled OOV bucket — so the broadcast side is ≤ V+1 rows no matter how
+    large the corpus, and the model stays a proper distribution (counts
+    still sum to the corpus total). max_vocab=None keeps the exact
+    untruncated model (what the DuckDB oracle computes); in that mode the
+    broadcast is a HINT ONLY on a Zipf-bounded side, and callers with
+    unbounded vocabularies should pass max_vocab."""
     wexp = docs.select("doc_id", F.explode(_words_col()).alias("word"))
     vocab = wexp.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    if max_vocab is not None:
+        # Top-V by (count desc, word asc) via a two-pass global top-k
+        # (rank over a single partition would serialize; top-k of V rows
+        # per partition then global take is the scalable shape).
+        topv = (
+            vocab.orderBy(F.desc("c"), F.asc("word"))
+            .limit(int(max_vocab))
+            .withColumn("oov", F.lit(False))
+        )
+        oov_pool = (
+            vocab.join(topv.select("word"), "word", "left_anti")
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("c"))
+            .select(F.lit(OOV_TOKEN).alias("word"), "c", F.lit(True).alias("oov"))
+        )
+        vocab = topv.unionByName(oov_pool)
     total = vocab.agg(F.sum("c").alias("total"))
-    scored = wexp.join(F.broadcast(vocab), "word").crossJoin(F.broadcast(total))
+    if max_vocab is not None:
+        # Left join against the bounded vocab; misses score via the OOV row.
+        oov_c = vocab.filter(F.col("oov")).select(F.col("c").alias("oov_c"))
+        scored = (
+            wexp.join(F.broadcast(vocab.filter(~F.col("oov")).select("word", "c")),
+                      "word", "left")
+            .crossJoin(F.broadcast(oov_c))
+            .withColumn("c", F.coalesce(F.col("c"), F.col("oov_c")))
+            .crossJoin(F.broadcast(total))
+        )
+    else:
+        scored = wexp.join(F.broadcast(vocab), "word").crossJoin(F.broadcast(total))
     return (
         scored.groupBy("doc_id")
         .agg(

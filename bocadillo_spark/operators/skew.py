@@ -51,9 +51,18 @@ def salted_join(
             f"salted_join supports fact-preserving joins only {sorted(allowed)}; "
             f"got {how!r} (a replicated dim would multiply unmatched dim rows)"
         )
+    # Collision-safe temp column: a caller column named "__salt" (or any
+    # candidate) must survive untouched, so probe until the name is free on
+    # BOTH sides rather than silently overwriting and dropping caller data.
+    taken = set(fact.columns) | set(dim.columns)
+    salt_col = "__salt"
+    i = 0
+    while salt_col in taken:
+        i += 1
+        salt_col = f"__salt_{i}"
     salts = F.array(*[F.lit(i) for i in range(n_salt)])
-    dimx = dim.withColumn("__salt", F.explode(salts))
+    dimx = dim.withColumn(salt_col, F.explode(salts))
     factx = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int")
+        salt_col, F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int")
     )
-    return factx.join(dimx.hint("merge"), [key, "__salt"], how).drop("__salt")
+    return factx.join(dimx.hint("merge"), [key, salt_col], how).drop(salt_col)

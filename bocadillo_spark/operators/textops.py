@@ -314,21 +314,57 @@ SELECT tr.doc_id, tr.lang, CAST(count(*) AS BIGINT) AS n_matched_ngrams
 FROM tr JOIN ev USING (g) GROUP BY tr.doc_id, tr.lang"""
 
 
+FP_FOLD_CHUNK = 1024  # chars per inner fold; bounds transient memory
+
+
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """Rolling polynomial hash over text codepoints mod 2^31-1 — fully
-    native (char split → ascii → aggregate fold, whole-stage codegen; the
-    round-1 per-byte Python loop is gone). acc*base+v stays < 2^51, exact
-    in LongType under ANSI. Same digits as hashing.rolling_fingerprint and
-    the DuckDB list_reduce oracle."""
+    native (whole-stage-free higher-order fold, no Python). Same digits as
+    hashing.rolling_fingerprint and the DuckDB list_reduce oracle.
+
+    Memory shape: the round-3 form split the WHOLE text into a
+    per-codepoint array<string> (~10-20× transient blowup per row; a
+    100 MB doc materialized GBs of 1-char strings). This form folds in two
+    stages with identical modulus math: the text is cut into
+    FP_FOLD_CHUNK-char substrings (the chunk list is O(len) chars, cheap),
+    and each chunk's inner fold computes (h, pw) = (hash of the chunk,
+    base^len(chunk) mod p) — only ONE chunk's codepoint array is live at a
+    time. The outer fold combines exactly as polynomial hashing composes:
+    acc' = (acc·pw + h) mod p. Bounds: inner acc·base+v < 2^51; outer
+    acc·pw < 2^62 — exact in LongType under ANSI. Envelope: peak transient
+    per row is O(FP_FOLD_CHUNK) char objects + the text itself, so even a
+    >100 MB pathological doc folds in bounded memory (fixture:
+    tests/test_parse_adversarial.py megadoc case)."""
+    p = F.lit(H.MERSENNE31)
+    base = F.lit(H.FP_BASE)
     t = F.coalesce(F.col("text"), F.lit(""))
-    cps = F.transform(
-        F.filter(F.split(t, ""), lambda c: c != ""),
-        lambda c: F.ascii(c).cast("long"),
+    n = F.length(t)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(FP_FOLD_CHUNK))).otherwise(
+        F.array().cast("array<int>")
     )
+    chunks = F.transform(starts, lambda i: F.substring(t, i, F.lit(FP_FOLD_CHUNK)))
+
+    def chunk_hp(chunk):
+        cps = F.transform(
+            F.filter(F.split(chunk, ""), lambda c: c != ""),
+            lambda c: F.ascii(c).cast("long"),
+        )
+        return F.aggregate(
+            cps,
+            F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("pw")),
+            lambda acc, v: F.struct(
+                ((acc.h * base + v) % p).alias("h"), ((acc.pw * base) % p).alias("pw")
+            ),
+        )
+
+    # transform-then-fold so each chunk's inner fold is evaluated exactly
+    # once (higher-order fns are interpreted — no CSE between two lambda
+    # references; the round-2 lesson). The hp array is O(len/CHUNK) structs.
+    hps = F.transform(chunks, chunk_hp)
     fp = F.aggregate(
-        cps,
+        hps,
         F.lit(0).cast("long"),
-        lambda acc, v: (acc * F.lit(H.FP_BASE) + v) % F.lit(H.MERSENNE31),
+        lambda acc, x: (acc * x.pw + x.h) % p,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
 

@@ -17,6 +17,7 @@ loop (cmd/main.go:41-73); the fan-out + manifest pattern generalizes it.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 import tempfile
@@ -69,5 +70,11 @@ def read_shard_stats(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def export_shards_workspace(sf_dir: str) -> str:
-    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"bocadillo_export_{base}")
+    # Key the shared workspace on the FULL resolved path, not just the
+    # basename — two sf dirs named "sf0.01" under different roots (or a
+    # concurrent session pointed elsewhere) must not collide on one output
+    # dir, or read_shard_stats would grade another run's artifact.
+    resolved = os.path.realpath(sf_dir.rstrip("/"))
+    base = os.path.basename(resolved) or "sf"
+    fp = hashlib.md5(resolved.encode("utf-8")).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"bocadillo_export_{base}_{fp}")

@@ -391,11 +391,17 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
     return expired
 
 
+_BROADCAST_KEY_ROWS = 500_000
+
+
 def _small(df: DataFrame) -> bool:
-    """Broadcast the update keyset when the update batch is plan-estimated
-    small — the common CDC shape (small batch vs huge table)."""
+    """Broadcast the update keyset when the update batch is small — the
+    common CDC shape (small batch vs huge table). Public-API probe:
+    limit(N+1).count() — the GlobalLimit stops the job after N+1 rows, so
+    the probe is O(N) regardless of batch size, and it replaces the
+    version-brittle private `_jdf.queryExecution()` stats access. The row
+    bound is conservative: 500k keys ≪ the 8 GB broadcast hard cap."""
     try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        return stats.sizeInBytes() < 64 * 1024 * 1024
+        return df.limit(_BROADCAST_KEY_ROWS + 1).count() <= _BROADCAST_KEY_ROWS
     except Exception:
         return False
