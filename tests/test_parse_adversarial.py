@@ -111,3 +111,25 @@ def test_spark_engines_agree_with_refparser_on_adversarial(spark):
                 for seq, t, pl in ref.events
             ]
             assert got == sorted(want), (i, got, want)
+
+
+def test_fingerprint_bounded_fold_on_megadoc(spark):
+    """doc_fingerprints must handle a >1 MB document (the memory-envelope
+    fixture for the two-stage chunked fold) and agree exactly with the
+    pure-Python rolling kernel, chunk boundaries included."""
+    from bocadillo_spark.functions import hashing as H
+    from bocadillo_spark.operators.textops import FP_FOLD_CHUNK, doc_fingerprints
+
+    mega = "lorem ipsum dolor sit amet " * 45_000  # ~1.2 MB
+    edge_cases = [
+        (0, mega),
+        (1, "x" * (FP_FOLD_CHUNK - 1)),
+        (2, "y" * FP_FOLD_CHUNK),
+        (3, "z" * (FP_FOLD_CHUNK + 1)),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(edge_cases, "doc_id long, text string")
+    got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprints(df).collect()}
+    for i, t in edge_cases:
+        assert got[i] == H.rolling_fingerprint(t or ""), i
