@@ -280,6 +280,106 @@ FROM w JOIN v USING (word) CROSS JOIN t
 GROUP BY doc_id"""
 
 
+# DSIR-style importance resampling constants (shared with the oracle).
+DSIR_TARGET_LANG = "en"
+DSIR_HASH_A, DSIR_HASH_C, DSIR_HASH_M = 2_654_435_761, 7, 1_000_003
+
+
+def importance_resample(docs: DataFrame) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, by shape): score
+    each document by the mean per-token log importance ratio between a
+    TARGET unigram model (the DSIR_TARGET_LANG slice, add-one smoothed)
+    and the RAW corpus model, then keep it with probability
+    min(1, exp(score)) via a deterministic integer-hash gate — the
+    standard data-mixing step that tilts a web corpus toward a target
+    domain without an RNG (reruns and backfills keep identical picks).
+
+    Exactness (the driver hash-compares against DuckDB): every model
+    ratio is an int/int division (exact double both engines); per-doc
+    score is round(avg(ln ...), 6); the acceptance test compares
+    round(ln(k/M), 6) < score with k from an exact integer LCG — the
+    int/int and round-6 recipes proven across the registry. exp() never
+    runs: accept-in-log-space is the same event.
+
+    Scale shape: two map-side-combined groupBy(word) model passes (the
+    target pass is a filtered twin), models broadcast (production bounds
+    them via unigram_logprob-style max_vocab/top-V), corpus joined
+    map-side and aggregated once per doc_id — the corpus is never
+    shuffled on the word key, same plan family as unigram_logprob. The
+    per-word expression subtracts two logs instead of ln of one fused
+    ratio, so no BIGINT product can overflow at 100-TB token counts."""
+    wexp = docs.select("doc_id", "lang", F.explode(_words_col()).alias("word"))
+    call = wexp.groupBy("word").agg(F.count(F.lit(1)).alias("c_all"))
+    ctgt = (
+        wexp.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    vocab = call.join(ctgt, "word", "left").select(
+        "word", "c_all", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    )
+    consts = vocab.agg(
+        F.sum("c_all").alias("n_all"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ratio = F.log(
+        (F.col("c_tgt") + 1).cast("double") / (F.col("n_tgt") + F.col("v"))
+    ) - F.log(F.col("c_all").cast("double") / F.col("n_all"))
+    per_doc = (
+        wexp.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(ratio), 6).alias("score"),
+        )
+    )
+    k = (
+        F.pmod(
+            F.col("doc_id") * F.lit(DSIR_HASH_A) + F.lit(DSIR_HASH_C),
+            F.lit(DSIR_HASH_M),
+        )
+        + 1
+    )
+    ln_u = F.round(F.log(k.cast("double") / F.lit(float(DSIR_HASH_M))), 6)
+    kept = per_doc.withColumn("sampled", ln_u < F.col("score"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum(F.when(F.col("sampled"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("sampled_tokens"),
+    )
+
+
+def importance_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of importance_resample (same models, hash gate, rounding)."""
+    return f"""WITH w AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM {table}),
+ca AS (SELECT word, count(*) AS c_all FROM w GROUP BY word),
+ct AS (SELECT word, count(*) AS c_tgt FROM w WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY word),
+v AS (SELECT ca.word, c_all, coalesce(c_tgt, 0) AS c_tgt FROM ca LEFT JOIN ct USING (word)),
+k AS (SELECT sum(c_all) AS n_all, sum(c_tgt) AS n_tgt, count(*) AS nv FROM v),
+pd AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(ln(CAST(c_tgt + 1 AS DOUBLE) / (n_tgt + nv))
+                   - ln(CAST(c_all AS DOUBLE) / n_all)), 6) AS score
+  FROM w JOIN v USING (word) CROSS JOIN k
+  GROUP BY doc_id, lang),
+s AS (
+  SELECT lang, n_tokens,
+         round(ln(CAST(((doc_id * {DSIR_HASH_A} + {DSIR_HASH_C}) % {DSIR_HASH_M}) + 1
+                       AS DOUBLE) / {DSIR_HASH_M}), 6) < score AS sampled
+  FROM pd)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN sampled THEN n_tokens ELSE 0 END) AS BIGINT) AS sampled_tokens
+FROM s GROUP BY lang"""
+
+
 def lang_sampling_weights(docs: DataFrame) -> DataFrame:
     """Temperature-based language sampling (mT5 §3 / XLM-R): per-language
     multinomial weight p_l ∝ (n_l/N)^alpha (SAMPLE_ALPHA) — the

@@ -1554,6 +1554,7 @@ from .operators.cleanops import (  # noqa: E402
     boilerplate_oracle_sql,
     chunk_dedup_oracle_sql,
     entropy_oracle_sql,
+    importance_oracle_sql,
     pii_oracle_sql,
     sampling_oracle_sql,
     unigram_oracle_sql,
@@ -1943,6 +1944,19 @@ def q_unigram_logprob(spark, sf_dir):
     from .operators.cleanops import unigram_logprob
 
     return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query("importance_resample", importance_oracle_sql())
+def q_importance_resample(spark, sf_dir):
+    """DSIR-style importance resampling: per-doc target-vs-corpus mean
+    log-ratio score, deterministic integer-hash acceptance at
+    min(1, exp(score)) evaluated in log space — the data-mixing step that
+    tilts the corpus toward the target language. SQL-exact per-lang
+    sampled counts (int/int ratios + round-6, see
+    cleanops.importance_resample)."""
+    from .operators.cleanops import importance_resample
+
+    return importance_resample(_t(spark, sf_dir, "documents"))
 
 
 @query(
