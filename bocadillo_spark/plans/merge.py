@@ -126,6 +126,21 @@ def _snapshot_schema(spark: SparkSession, meta: dict) -> StructType | None:
     return StructType.fromJson(json.loads(sj)) if sj else None
 
 
+def _delete_dir(table_dir: str, version: int, bucket: int) -> str:
+    return os.path.join(
+        _snap_dir(table_dir, version), "__deletes", f"__bucket={bucket}"
+    )
+
+
+def _selected_entries(meta: dict, only_buckets: list[int] | None) -> dict:
+    buckets = meta.get("buckets") or {}
+    return {
+        k: e
+        for k, e in buckets.items()
+        if only_buckets is None or int(k) in only_buckets
+    }
+
+
 def _read_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -136,12 +151,16 @@ def _read_snapshot(
     those buckets' directories — the partition-scoped read the MERGE
     anti-join uses. Reads with the snapshot's recorded (union) schema, so
     buckets written before a schema evolution surface NULL for newer
-    columns."""
+    columns. Buckets carrying merge-on-read deltas/tombstones are resolved
+    by _read_mor (base ∪ deltas, anti-tombstone)."""
     if meta.get("buckets") is None:  # legacy flat layout (pre-bucketing)
         snap = _snap_dir(table_dir, meta["version"])
         if not os.path.isdir(snap):
             raise ValueError(f"snapshot v{meta['version']} data expired (metadata retained)")
         return spark.read.parquet(snap)
+    entries = _selected_entries(meta, only_buckets)
+    if any(e.get("deltas") or e.get("deletes") for e in entries.values()):
+        return _read_mor(spark, table_dir, meta, entries)
     paths = _bucket_paths(table_dir, meta, only_buckets)
     schema = _snapshot_schema(spark, meta)
     if not paths:
@@ -152,6 +171,63 @@ def _read_snapshot(
                 f"snapshot v{meta['version']} data expired (metadata retained)"
             )
     return spark.read.schema(schema).parquet(*paths)
+
+
+def _read_mor(
+    spark: SparkSession, table_dir: str, meta: dict, entries: dict
+) -> DataFrame:
+    """Merge-on-read resolution: every data segment (the bucket's base plus
+    its stacked delta files) is read tagged with its commit version; the
+    per-bucket tombstone files yield each key's max delete version; a row
+    survives iff no LATER commit tombstoned its key (a commit's own delta
+    rows supersede its tombstone, so `dead_v <= seg_v` keeps them). One
+    extra join per read — the read amplification MOR trades for O(batch)
+    writes — folded away by compact(). Segment count is bounded by epochs
+    since the last compaction."""
+    key_cols = meta.get("key") or []
+    schema = _snapshot_schema(spark, meta)
+    seg_by_v: dict[int, list[str]] = {}
+    del_by_v: dict[int, list[str]] = {}
+    for k, e in sorted(entries.items(), key=lambda kv: int(kv[0])):
+        seg_by_v.setdefault(int(e["owner"]), []).append(
+            os.path.join(_snap_dir(table_dir, int(e["owner"])), f"__bucket={k}")
+        )
+        for d in e.get("deltas") or []:
+            seg_by_v.setdefault(int(d["version"]), []).append(
+                os.path.join(_snap_dir(table_dir, int(d["version"])), f"__bucket={k}")
+            )
+        for dv in e.get("deletes") or []:
+            del_by_v.setdefault(int(dv), []).append(
+                _delete_dir(table_dir, int(dv), int(k))
+            )
+    for paths in list(seg_by_v.values()) + list(del_by_v.values()):
+        for p in paths:
+            if not os.path.isdir(p):
+                raise ValueError(
+                    f"snapshot v{meta['version']} data expired (metadata retained)"
+                )
+    rows = None
+    for v in sorted(seg_by_v):
+        part = spark.read.schema(schema).parquet(*seg_by_v[v]).withColumn(
+            "__seg_v", F.lit(v)
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    dels = None
+    for v in sorted(del_by_v):
+        part = (
+            spark.read.parquet(*del_by_v[v])
+            .select(*key_cols)
+            .withColumn("__del_v", F.lit(v))
+        )
+        dels = part if dels is None else dels.unionByName(part)
+    if dels is None:
+        return rows.drop("__seg_v")
+    dead = dels.groupBy(*key_cols).agg(F.max("__del_v").alias("__dead_v"))
+    return (
+        rows.join(dead, key_cols, "left")
+        .where(F.col("__dead_v").isNull() | (F.col("__dead_v") <= F.col("__seg_v")))
+        .drop("__seg_v", "__dead_v")
+    )
 
 
 def read_table(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
@@ -218,6 +294,17 @@ def _write_bucketed(
     return counts
 
 
+def _union_schema(parent_schema: StructType, ups_schema: StructType) -> StructType:
+    """Iceberg add-column semantics without reading data: parent fields in
+    order, then any batch-new fields appended."""
+    from pyspark.sql.types import StructField
+
+    names = {f.name for f in parent_schema.fields}
+    fields: list[StructField] = list(parent_schema.fields)
+    fields.extend(f for f in ups_schema.fields if f.name not in names)
+    return StructType(fields)
+
+
 def merge_upsert(
     spark: SparkSession,
     table_dir: str,
@@ -226,15 +313,28 @@ def merge_upsert(
     batch_id: int | str,
     delete_col: str | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
+    mor: bool = False,
 ) -> dict:
     """MERGE INTO target USING updates ON key:
     matched → replace row (or delete when `delete_col` is true),
     not matched → insert. Returns the committed snapshot metadata.
 
-    Partition-scoped COW: only the key buckets present in the batch are
-    read, anti-joined, and rewritten; all other buckets carry forward by
-    manifest reference (asserted not-rewritten in
+    Partition-scoped COW (default): only the key buckets present in the
+    batch are read, anti-joined, and rewritten; all other buckets carry
+    forward by manifest reference (asserted not-rewritten in
     tests/test_merge_upsert.py::test_untouched_buckets_not_rewritten).
+
+    Merge-on-read (`mor=True`) — for update rates that dwarf reads: the
+    commit writes ONLY the deduped upsert rows (per-bucket delta files)
+    plus per-bucket tombstone key files; NO base data is read or
+    rewritten, so an epoch writes O(batch) bytes even when every bucket is
+    touched (asserted in test_merge_upsert.py::test_mor_writes_o_batch).
+    Reads resolve base ∪ deltas minus later tombstones (_read_mor);
+    compact() folds the log back into plain COW buckets. Reference
+    analog: the XID-bounded transactional apply defers visibility the
+    same way (/root/reference/reader/enhanced_reader.go:129-147). MOR
+    snapshot metadata records row_count=None (an exact live count would
+    need the very read MOR defers; compact restores it).
 
     Idempotent under replay two ways: (1) a batch_id already committed is
     skipped entirely; (2) re-merging identical content produces an
@@ -266,6 +366,11 @@ def merge_upsert(
         keys = ups.select(*key_cols)
         if deletes is not None:
             keys = keys.unionByName(deletes).distinct()
+        if mor and parent_meta.get("buckets") is not None:
+            return _merge_mor(
+                spark, table_dir, parent, parent_meta, ups, keys,
+                key_cols, n_buckets, batch_id,
+            )
         if parent_meta.get("buckets") is None:
             # legacy flat snapshot: one full rewrite upgrades the layout
             cur = _read_snapshot(spark, table_dir, parent_meta)
@@ -312,6 +417,76 @@ def merge_upsert(
         "row_count": sum(i["rows"] for i in buckets.values()),
         "schema": merged.schema.simpleString(),
         "schema_json": json.dumps(merged.schema.jsonValue()),
+    }
+    _commit(table_dir, meta)
+    return meta
+
+
+def _merge_mor(
+    spark: SparkSession,
+    table_dir: str,
+    parent: int,
+    parent_meta: dict,
+    ups: DataFrame,
+    keys: DataFrame,
+    key_cols: list[str],
+    n_buckets: int,
+    batch_id: int | str,
+) -> dict:
+    """The MOR commit: per-bucket delta files (upsert rows only) + per-bucket
+    tombstone key files; zero base reads, zero base rewrites — O(batch)
+    bytes regardless of how many buckets the batch touches."""
+    version = parent + 1
+    snap = _snap_dir(table_dir, version)
+    written = _write_bucketed(ups, key_cols, n_buckets, snap)
+    keysb = keys.withColumn("__bucket", _bucket_col(key_cols, n_buckets)).persist()
+    try:
+        touched = sorted(
+            int(r["__bucket"]) for r in keysb.select("__bucket").distinct().collect()
+        )
+        (
+            keysb.repartition(max(len(touched), 1), "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(os.path.join(snap, "__deletes"))
+        )
+    finally:
+        keysb.unpersist()
+    pbuckets = parent_meta["buckets"]
+    touched_set = set(touched)
+    buckets = {k: e for k, e in pbuckets.items() if int(k) not in touched_set}
+    for b in touched:
+        k = str(b)
+        pe = pbuckets.get(k)
+        drows = written.get(b, 0)
+        if pe is None:
+            # brand-new bucket: its delta IS the base; a tombstone with no
+            # older segment is vacuous, so no deletes entry is recorded
+            if drows > 0:
+                buckets[k] = {"owner": version, "rows": drows}
+            continue
+        e = dict(pe)
+        deltas = [dict(d) for d in (pe.get("deltas") or [])]
+        if drows > 0:
+            deltas.append({"version": version, "rows": drows})
+        if deltas:
+            e["deltas"] = deltas
+        e["deletes"] = list(pe.get("deletes") or []) + [version]
+        buckets[k] = e
+    sch = _union_schema(
+        _snapshot_schema(spark, parent_meta) or ups.schema, ups.schema
+    )
+    meta = {
+        "version": version,
+        "parent": parent,
+        "operation": "merge-mor",
+        "batch_id": batch_id,
+        "key": list(key_cols),
+        "n_buckets": n_buckets,
+        "buckets": buckets,
+        "row_count": None,
+        "schema": sch.simpleString(),
+        "schema_json": json.dumps(sch.jsonValue()),
     }
     _commit(table_dir, meta)
     return meta
@@ -379,7 +554,12 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
             if meta.get("buckets") is None:
                 referenced.add(v)
             else:
-                referenced.update(int(i["owner"]) for i in meta["buckets"].values())
+                for e in meta["buckets"].values():
+                    referenced.add(int(e["owner"]))
+                    referenced.update(
+                        int(d["version"]) for d in (e.get("deltas") or [])
+                    )
+                    referenced.update(int(dv) for dv in (e.get("deletes") or []))
     expired = []
     for meta in history:
         v = meta["version"]

@@ -323,6 +323,46 @@ def q_cdc_crud_final_state(spark, sf_dir):
 
 
 @query(
+    "cdc_crud_final_state_mor",
+    f"""{_PIPE_CTES},
+    rel AS (
+      SELECT doc_id, seq, event_type FROM page_events
+      WHERE event_type IN ('update', 'delete')
+    ),
+    last AS (
+      SELECT doc_id, CAST(max(seq) AS BIGINT) AS seq,
+             max_by(event_type, seq) AS last_type
+      FROM rel GROUP BY doc_id
+    )
+    SELECT doc_id, seq,
+           CAST((doc_id * 31 + (seq + 1) * 7) % 1000 AS BIGINT) AS last_state
+    FROM last WHERE last_type = 'update'""",
+)
+def q_cdc_crud_final_state_mor(spark, sf_dir):
+    """The cdc_crud_final_state twin through the MERGE-ON-READ protocol:
+    every post-create epoch writes only per-bucket delta + tombstone files
+    (O(batch) bytes, zero base rewrites — plans/merge._merge_mor), the
+    final read resolves base ∪ deltas minus later tombstones, and a
+    compact() epoch folds the log back to plain COW before the graded
+    read — same oracle, same final table, different physical commit
+    protocol."""
+    from .plans.merge import compact, read_table
+    from .streaming.cdc import run_cdc_stream_to_completion
+
+    pages_dir, root = _stream_workspace(spark, sf_dir)
+    table_dir = f"{root}/cdc_crud_mor_table"
+    ckpt_dir = f"{root}/cdc_crud_mor_ckpt"
+    run_cdc_stream_to_completion(
+        spark, pages_dir, table_dir, ckpt_dir, max_files_per_trigger=3,
+        apply_deletes=True, mor=True,
+    )
+    compact(spark, table_dir)
+    return read_table(spark, table_dir).select(
+        "doc_id", "seq", F.col("new_img").alias("last_state")
+    )
+
+
+@query(
     "route_metrics",
     f"""{_PIPE_CTES}
     SELECT route_reason, CAST(count(*) AS BIGINT) AS n,

@@ -61,6 +61,7 @@ def start_cdc_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
     apply_deletes: bool = False,
+    mor: bool = False,
 ) -> StreamingQuery:
     pages = stream_pages(spark, pages_path, max_files_per_trigger)
 
@@ -74,7 +75,7 @@ def start_cdc_stream(
             )
             merge_upsert(
                 batch_df.sparkSession, table_dir, rows, ["doc_id"],
-                batch_id=int(batch_id), delete_col="deleted",
+                batch_id=int(batch_id), delete_col="deleted", mor=mor,
             )
         else:
             upd = extract_update_images(batch_df).select(
@@ -82,7 +83,7 @@ def start_cdc_stream(
             )
             merge_upsert(
                 batch_df.sparkSession, table_dir, upd, ["doc_id"],
-                batch_id=int(batch_id),
+                batch_id=int(batch_id), mor=mor,
             )
 
     return (
@@ -100,9 +101,10 @@ def run_cdc_stream_to_completion(
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
     apply_deletes: bool = False,
+    mor: bool = False,
 ) -> None:
     q = start_cdc_stream(
         spark, pages_path, table_dir, checkpoint_dir, max_files_per_trigger,
-        apply_deletes=apply_deletes,
+        apply_deletes=apply_deletes, mor=mor,
     )
     q.awaitTermination()

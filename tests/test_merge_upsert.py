@@ -269,3 +269,140 @@ def test_merge_upsert_delete_and_batch_dedupe(spark, tmp_path):
     m = merge_upsert(spark, t, upd, ["url"], batch_id=2, delete_col="deleted")
     assert m["row_count"] == 1
     assert _rows(spark, t) == [("u1", 1, "z")]
+
+
+# ---------------------------------------------------------------- MOR path
+
+
+def _dir_bytes(path, skip_meta=True):
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if skip_meta and (f.startswith("_") or f.startswith(".")):
+                continue
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_mor_final_state_equals_cow(spark, tmp_path):
+    """Same batch sequence (updates, inserts, hard deletes, intra-batch
+    ties) through mor=True and the COW default -> identical tables."""
+    base = [(f"u{i}", i, "a", False) for i in range(40)]
+    batches = [
+        # update + insert
+        [("u3", 3, "b", False), ("u40", 40, "a", False)],
+        # hard delete + update of a previously-updated key
+        [("u5", 5, None, True), ("u3", 3, "c", False)],
+        # delete then re-insert in a LATER batch
+        [("u7", 7, None, True)],
+        [("u7", 7, "z", False), ("u41", 41, "a", False)],
+        # intra-batch tie on u9: dedupe keeps max struct -> "y" > "x"
+        [("u9", 9, "x", False), ("u9", 9, "y", False)],
+    ]
+    schema = "url string, doc_id long, state string, deleted boolean"
+    tables = {}
+    for mode, mor in (("cow", False), ("mor", True)):
+        t = str(tmp_path / mode)
+        merge_upsert(
+            spark, t, spark.createDataFrame(base, schema), ["url"],
+            batch_id=0, delete_col="deleted", mor=mor,
+        )
+        for i, b in enumerate(batches, start=1):
+            merge_upsert(
+                spark, t, spark.createDataFrame(b, schema), ["url"],
+                batch_id=i, delete_col="deleted", mor=mor,
+            )
+        tables[mode] = _rows(spark, t)
+    assert tables["mor"] == tables["cow"]
+    assert ("u5", 5, "a") not in dict(
+        ((r[0],) + r[1:], None) for r in tables["mor"]
+    )
+
+
+def test_mor_writes_o_batch(spark, tmp_path):
+    """A small MOR epoch touching EVERY bucket writes O(batch) bytes —
+    the property COW cannot have (it must rewrite every touched bucket)."""
+    import os
+
+    from bocadillo_spark.plans.merge import DEFAULT_BUCKETS
+
+    t = str(tmp_path / "tbl")
+    n = 20_000
+    base = spark.range(n).selectExpr(
+        "concat('u', id) AS url", "id AS doc_id",
+        "repeat('x', 64) AS state", "false AS deleted",
+    )
+    merge_upsert(spark, t, base, ["url"], batch_id=0, delete_col="deleted")
+    base_bytes = _dir_bytes(str(tmp_path / "tbl" / "snapshots" / "snap-000001"))
+
+    # one update per bucket x 4 -> every bucket touched, tiny batch
+    batch = spark.range(0, n, n // (DEFAULT_BUCKETS * 4)).selectExpr(
+        "concat('u', id) AS url", "id AS doc_id",
+        "repeat('y', 64) AS state", "false AS deleted",
+    )
+    m = merge_upsert(spark, t, batch, ["url"], batch_id=1, delete_col="deleted", mor=True)
+    assert m["operation"] == "merge-mor"
+    touched = sum(
+        1 for e in m["buckets"].values() if e.get("deltas") or e.get("deletes")
+    )
+    assert touched == DEFAULT_BUCKETS  # every bucket touched
+    epoch_bytes = _dir_bytes(str(tmp_path / "tbl" / "snapshots" / "snap-000002"))
+    assert epoch_bytes < base_bytes * 0.25, (epoch_bytes, base_bytes)
+
+    # and the read still resolves correctly
+    got = dict(
+        (r["url"], r["state"])
+        for r in read_table(spark, t).select("url", "state").collect()
+    )
+    assert len(got) == n
+    assert got["u0"] == "y" * 64 and got["u1"] == "x" * 64
+
+
+def test_mor_replay_compact_and_expire(spark, tmp_path):
+    """MOR epochs are replay-idempotent; compact() folds deltas+tombstones
+    into plain COW entries; expiry keeps every version a retained manifest
+    still references (deltas and tombstones included)."""
+    import os
+
+    from bocadillo_spark.plans.merge import compact, expire_snapshots, _load_meta
+
+    t = str(tmp_path / "tbl")
+    schema = "url string, doc_id long, state string, deleted boolean"
+    merge_upsert(
+        spark, t,
+        spark.createDataFrame([(f"u{i}", i, "a", False) for i in range(30)], schema),
+        ["url"], batch_id=0, delete_col="deleted",
+    )
+    m1 = merge_upsert(
+        spark, t,
+        spark.createDataFrame([("u1", 1, "b", False), ("u2", 2, None, True)], schema),
+        ["url"], batch_id=1, delete_col="deleted", mor=True,
+    )
+    assert m1["operation"] == "merge-mor" and m1["row_count"] is None
+    # replay: no-op
+    r = merge_upsert(
+        spark, t,
+        spark.createDataFrame([("u1", 1, "b", False)], schema),
+        ["url"], batch_id=1, delete_col="deleted", mor=True,
+    )
+    assert r.get("skipped_replay") and current_version(t) == 2
+
+    before = _rows(spark, t)
+    assert ("u1", 1, "b") in before and all(r[0] != "u2" for r in before)
+
+    mc = compact(spark, t)
+    assert mc["operation"] == "compact"
+    meta = _load_meta(t, mc["version"])
+    assert all(
+        not e.get("deltas") and not e.get("deletes")
+        for e in meta["buckets"].values()
+    )
+    assert _rows(spark, t) == before
+    assert mc["row_count"] == 29
+
+    # keep_last=1 retains only the compacted snapshot -> MOR log expires
+    expired = expire_snapshots(t, keep_last=1)
+    assert set(expired) <= {1, 2}
+    assert _rows(spark, t) == before
