@@ -63,8 +63,24 @@ def run_pipeline_once(spark, pages_path: str) -> float:
     return dt
 
 
-def timed_pipeline_at(
-    cores: int, pages_path: str, runs: int = 3, warmups: int = 1, task_cpus: int = 1
+def run_minhash_once(spark, sf_dir: str) -> float:
+    """One timed MinHash-LSH dedup run (the heaviest training-data
+    operator) on a FRESH plan — signature fold + banded bucket join +
+    exact-Jaccard verify over documents + planted near-dups."""
+    from bocadillo_spark.operators import dedup as D
+
+    docs = D.augment_with_near_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    t0 = time.time()
+    n = D.minhash_dedup_pairs(docs, threshold=0.8).count()
+    dt = time.time() - t0
+    assert n > 0
+    return dt
+
+
+def timed_job_at(
+    cores: int, job, runs: int = 3, warmups: int = 1, task_cpus: int = 1
 ) -> float:
     """task_cpus > 1 sizes CONCURRENT tasks below the thread count — on this
     VM (~6-8 sustained effective cores behind 32 vCPUs) plain local[32] is
@@ -78,28 +94,46 @@ def timed_pipeline_at(
     )
     try:
         for _ in range(warmups):
-            run_pipeline_once(spark, pages_path)
-        times = sorted(run_pipeline_once(spark, pages_path) for _ in range(runs))
+            job(spark)
+        times = sorted(job(spark) for _ in range(runs))
     finally:
         spark.stop()
     return times[len(times) // 2]
 
 
-def scaling_pairs(pages_path: str, small: int = 1, big: int = 4, pairs: int = 2) -> dict:
+def timed_pipeline_at(
+    cores: int, pages_path: str, runs: int = 3, warmups: int = 1, task_cpus: int = 1
+) -> float:
+    return timed_job_at(
+        cores, lambda s: run_pipeline_once(s, pages_path), runs, warmups, task_cpus
+    )
+
+
+def scaling_pairs(
+    job,
+    series: str = "pairs",
+    protocol: str | None = None,
+    small: int = 1,
+    big: int = 4,
+    pairs: int = 2,
+) -> dict:
     """Interleaved small/big pairs; per-pair efficiency = (t_small/t_big)/(big/small).
     Interleaving + median-of-ratios defends against the VM's capacity drift
     (longer runs also average through the burst-credit cycle — short runs
     measured 0.57-0.99 on identical code where 40 s runs measure 0.85-0.97);
     the reported efficiency is clamped to 1.0 (a throttle dip during the
     small run can make a raw pair super-linear, which is measurement
-    artifact, not speedup)."""
+    artifact, not speedup). `series` selects the per-job pair list inside
+    BENCH/scaling_history.json — "pairs" is the flagship pipeline series;
+    heavy operators (minhash) accumulate their own series under their own
+    protocol note."""
     effs, small_ts, big_ts = [], [], []
     for _ in range(pairs):
         # warmups are load-bearing: the ~2-3 s fixed JVM/codegen cost is a
         # far larger fraction of the short big-side run, so skipping them
         # deflates measured efficiency by ~0.3 (measured)
-        t_s = timed_pipeline_at(small, pages_path, runs=1, warmups=1)
-        t_b = timed_pipeline_at(big, pages_path, runs=1, warmups=1)
+        t_s = timed_job_at(small, job, runs=1, warmups=1)
+        t_b = timed_job_at(big, job, runs=1, warmups=1)
         small_ts.append(round(t_s, 2))
         big_ts.append(round(t_b, 2))
         effs.append((t_s / t_b) / (big / small))
@@ -119,14 +153,17 @@ def scaling_pairs(pages_path: str, small: int = 1, big: int = 4, pairs: int = 2)
             history = json.load(f)
     except (OSError, ValueError):
         pass
+    if protocol is not None:
+        history[f"{series}_protocol"] = protocol
+    plist = history.setdefault(series, [])
     for ts_, tb_, ef_ in zip(small_ts, big_ts, effs):
-        history["pairs"].append({"small_sec": ts_, "big_sec": tb_, "eff": round(ef_, 3)})
+        plist.append({"small_sec": ts_, "big_sec": tb_, "eff": round(ef_, 3)})
     try:
         with open(hist_path, "w") as f:
             json.dump(history, f, indent=1)
     except OSError:
         pass
-    all_effs = sorted(p["eff"] for p in history["pairs"])
+    all_effs = sorted(p["eff"] for p in plist)
     effs_sorted = sorted(effs)
     return {
         "small_cores": small,
@@ -225,7 +262,21 @@ def main() -> None:
         "task_cpus": task_cpus,
     }
     if do_scaling:
-        result["scaling"] = scaling_pairs(pages_path)
+        result["scaling"] = scaling_pairs(
+            lambda s: run_pipeline_once(s, pages_path)
+        )
+        # the heaviest training-data operator gets its own pinned series:
+        # the flagship pipeline's efficiency does not speak for the
+        # signature-fold + bucket-join shape (round-3 verdict ask)
+        result["scaling_minhash"] = scaling_pairs(
+            lambda s: run_minhash_once(s, sf_dir),
+            series="minhash_pairs",
+            protocol=(
+                "minhash_dedup_pairs local[1] vs local[4], sf0.1 documents "
+                "+ planted near-dups (5500 docs), warmups=1, fresh plans"
+            ),
+            pairs=3,
+        )
 
     print(json.dumps(result))
 

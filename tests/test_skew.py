@@ -138,3 +138,19 @@ def test_salted_join_rejects_dim_multiplying_join_types(spark, sf_dir):
     for how in ("right", "full", "full_outer"):
         with pytest.raises(ValueError, match="fact-preserving"):
             salted_join(fact, dim, "skey", salt_src=F.col("event_id"), how=how)
+
+
+def test_salted_join_preserves_caller_salt_column(spark):
+    """A caller column named __salt must survive the salted join untouched
+    (the helper probes for a collision-free temp name instead of
+    overwriting)."""
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 10, 99), (2, 20, 98)], "k long, v long, __salt long"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, d string")
+    out = salted_join(fact, dim, "k", F.col("v")).orderBy("k").collect()
+    assert [(r["k"], r["__salt"], r["d"]) for r in out] == [(1, 99, "a"), (2, 98, "b")]
