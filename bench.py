@@ -63,15 +63,66 @@ def run_pipeline_once(spark, pages_path: str) -> float:
     return dt
 
 
-def run_minhash_once(spark, sf_dir: str) -> float:
+MINHASH_INPUT_FILES = 16
+MINHASH_SCALING_REPLICAS = 6
+
+
+def minhash_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
+    """Materialize the augmented dedup corpus as a MULTI-FILE parquet once.
+
+    Why multi-file: the sf0.1 documents fixture is a single parquet file →
+    ONE input partition → the MinHash signature fold (the expensive stage)
+    runs in one task at every core count, and a local[1]-vs-local[4] pair
+    measures nothing but that serial task (first recorded series: eff
+    0.26-0.49 with near-identical wall times — preserved in
+    scaling_history.json under minhash_pairs_v1_single_partition). A real
+    corpus arrives in thousands of files; 16 files restores the shape the
+    operator actually has at scale.
+
+    Why replicas: at 5,500 docs the whole job is ~8 s at local[1] — the
+    ~2.4 s of fixed multi-stage overhead (scheduling, tiny shuffles,
+    persist bookkeeping) caps measurable efficiency at ~0.55 (series
+    preserved under minhash_pairs_v2_small_corpus). Replicas scale the
+    parallel work so the pair measures the operator, exactly why the
+    pipeline series uses a x400 corpus. Each replica's text is
+    Caesar-rotated (a bijective char map: word equality — hence planted
+    near-dup structure and per-replica bucket sizes — is preserved
+    exactly, while replicas share no shingles, so no cross-replica bucket
+    blowup). The write happens once, outside every timed region."""
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators import dedup as D
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"{BENCH_DIR}/minhash_docs_{tag}_f{MINHASH_INPUT_FILES}_r{replicas}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        aug = D.augment_with_near_dups(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        parts = [
+            aug.select(
+                (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                F.translate(F.col("text"), alpha, alpha[r:] + alpha[:r]).alias("text"),
+            )
+            for r in range(replicas)
+        ]
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionByName(p)
+        corpus.repartition(MINHASH_INPUT_FILES).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_minhash_once(spark, sf_dir: str, input_path: str | None = None) -> float:
     """One timed MinHash-LSH dedup run (the heaviest training-data
     operator) on a FRESH plan — signature fold + banded bucket join +
     exact-Jaccard verify over documents + planted near-dups."""
     from bocadillo_spark.operators import dedup as D
 
-    docs = D.augment_with_near_dups(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-    )
+    if input_path is None:
+        input_path = minhash_input_path(spark, sf_dir)
+    docs = spark.read.parquet(input_path)
     t0 = time.time()
     n = D.minhash_dedup_pairs(docs, threshold=0.8).count()
     dt = time.time() - t0
@@ -80,7 +131,8 @@ def run_minhash_once(spark, sf_dir: str) -> float:
 
 
 def timed_job_at(
-    cores: int, job, runs: int = 3, warmups: int = 1, task_cpus: int = 1
+    cores: int, job, runs: int = 3, warmups: int = 1, task_cpus: int = 1,
+    extra_conf: dict | None = None,
 ) -> float:
     """task_cpus > 1 sizes CONCURRENT tasks below the thread count — on this
     VM (~6-8 sustained effective cores behind 32 vCPUs) plain local[32] is
@@ -88,9 +140,12 @@ def timed_job_at(
     task.cpus=4 is stable ~7-8 s. A real 32-core node runs task_cpus=1."""
     from bocadillo_spark.session import get_spark
 
+    conf = dict(extra_conf or {})
+    if task_cpus > 1:
+        conf["spark.task.cpus"] = str(task_cpus)
     spark = get_spark(
         app_name=f"bench_local{cores}", cores=cores, shuffle_partitions=max(cores, 16),
-        extra_conf={"spark.task.cpus": str(task_cpus)} if task_cpus > 1 else None,
+        extra_conf=conf or None,
     )
     try:
         for _ in range(warmups):
@@ -116,6 +171,7 @@ def scaling_pairs(
     small: int = 1,
     big: int = 4,
     pairs: int = 2,
+    extra_conf: dict | None = None,
 ) -> dict:
     """Interleaved small/big pairs; per-pair efficiency = (t_small/t_big)/(big/small).
     Interleaving + median-of-ratios defends against the VM's capacity drift
@@ -132,8 +188,8 @@ def scaling_pairs(
         # warmups are load-bearing: the ~2-3 s fixed JVM/codegen cost is a
         # far larger fraction of the short big-side run, so skipping them
         # deflates measured efficiency by ~0.3 (measured)
-        t_s = timed_job_at(small, job, runs=1, warmups=1)
-        t_b = timed_job_at(big, job, runs=1, warmups=1)
+        t_s = timed_job_at(small, job, runs=1, warmups=1, extra_conf=extra_conf)
+        t_b = timed_job_at(big, job, runs=1, warmups=1, extra_conf=extra_conf)
         small_ts.append(round(t_s, 2))
         big_ts.append(round(t_b, 2))
         effs.append((t_s / t_b) / (big / small))
@@ -214,7 +270,7 @@ def main() -> None:
                  "gopher_repetition", "decontaminate_ngrams",
                  "url_dedup_canonical", "chunk_dedup_c4", "unigram_logprob",
                  "boilerplate_removal", "token_entropy", "incremental_dedup",
-                 "salted_skew_join"]:
+                 "salted_skew_join", "chunk_dedup_fuzzy", "importance_resample"]:
         timed(name, lambda name=name: Q.QUERIES[name](spark, sf_dir))
 
     # round 3 turned the dedup_minhash/dedup_simhash REGISTRY entries into
@@ -232,6 +288,19 @@ def main() -> None:
     timed(
         "dedup_minhash",
         lambda: D.minhash_dedup_pairs(docs_frame(), threshold=0.8).select(
+            "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
+        ),
+    )
+    # the same operator over the corpus materialized as 16 parquet files
+    # (the input shape a real corpus has) — quantifies how much of the
+    # series number above is the single-file fixture serializing the
+    # signature fold, not the operator
+    mh_path = minhash_input_path(spark, sf_dir)
+    timed(
+        "dedup_minhash_par16",
+        lambda: D.minhash_dedup_pairs(
+            spark.read.parquet(mh_path), threshold=0.8
+        ).select(
             "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard")
         ),
     )
@@ -268,14 +337,27 @@ def main() -> None:
         # the heaviest training-data operator gets its own pinned series:
         # the flagship pipeline's efficiency does not speak for the
         # signature-fold + bucket-join shape (round-3 verdict ask)
+        prep = get_spark(app_name="mh_prep", cores=cpus)
+        try:
+            mh_scaling_path = minhash_input_path(
+                prep, sf_dir, replicas=MINHASH_SCALING_REPLICAS
+            )
+        finally:
+            prep.stop()
         result["scaling_minhash"] = scaling_pairs(
-            lambda s: run_minhash_once(s, sf_dir),
+            lambda s, p=mh_scaling_path: run_minhash_once(s, sf_dir, p),
             series="minhash_pairs",
             protocol=(
-                "minhash_dedup_pairs local[1] vs local[4], sf0.1 documents "
-                "+ planted near-dups (5500 docs), warmups=1, fresh plans"
+                "minhash_dedup_pairs local[1] vs local[4], sf0.1 documents + "
+                "planted near-dups x6 caesar-disjoint replicas (33k docs, "
+                "16-file parquet), autoBroadcastJoinThreshold=-1 (the 100-TB "
+                "join policy: the corpus side can never broadcast at scale; "
+                "with auto-broadcast the serial driver-side broadcast build "
+                "of the verify stage caps eff at ~0.55 — see "
+                "minhash_pairs_v3_broadcast_policy), warmups=1, fresh plans"
             ),
             pairs=3,
+            extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
         )
 
     print(json.dumps(result))

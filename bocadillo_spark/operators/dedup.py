@@ -320,6 +320,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     Spark shape for iterative graph algorithms without GraphFrames. Rounds
     are bounded by max_iters with an early-exit convergence check on
     counts of changed labels (cheap aggregate per round)."""
+    # cached: every propagation round joins against edges — without the
+    # cache each round re-executes the full upstream pair-generation plan
+    # (for MinHash inputs, the signature fold itself)
     edges = (
         pairs.select(
             F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
@@ -330,7 +333,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             )
         )
         .distinct()
-    )
+    ).cache()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -373,6 +376,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 
