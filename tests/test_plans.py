@@ -245,3 +245,37 @@ def test_repetition_arrayop_twin_equals_exploded_plan(spark, sf_dir):
 
     plan = _formatted(repetition_scores_arrayop(docs))
     assert "Exchange" not in plan
+
+
+def test_round4_ops_plans_python_free(spark, sf_dir):
+    """Round-4 operators stay fully native with no quadratic join shape:
+    importance_resample must broadcast its two unigram models (the corpus
+    is never shuffled on the word key, same contract as unigram_logprob);
+    chunk_fuzzy's cluster assignment must not contain a cartesian or
+    nested-loop join anywhere."""
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.cleanops import importance_resample
+    from bocadillo_spark.operators.dedup import (
+        augment_with_fuzzy_footers,
+        chunk_fuzzy_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted(importance_resample(docs))
+    # BroadcastNestedLoop is allowed ONLY as the 1-row scalar-constants
+    # crossJoin (the repo-wide pattern, same as unigram_logprob's totals)
+    for bad in ("MapInPandas", "ArrowEval", "BatchEvalPython",
+                "CartesianProduct"):
+        assert bad not in plan, ("importance_resample", bad)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # chunk_fuzzy_clusters' CC loop needs actions; guard the pre-CC frame
+    # (the expensive stages: chunk explode -> signature -> bands -> edges)
+    fz = augment_with_fuzzy_footers(docs)
+    cl = chunk_fuzzy_clusters(fz)
+    plan = _formatted(cl)
+    for bad in ("MapInPandas", "ArrowEval", "BatchEvalPython",
+                "CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan, ("chunk_fuzzy_clusters", bad)
