@@ -285,7 +285,7 @@ DSIR_TARGET_LANG = "en"
 DSIR_HASH_A, DSIR_HASH_C, DSIR_HASH_M = 2_654_435_761, 7, 1_000_003
 
 
-def importance_resample(docs: DataFrame) -> DataFrame:
+def importance_resample(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
     """DSIR-style importance resampling (Xie et al. 2023, by shape): score
     each document by the mean per-token log importance ratio between a
     TARGET unigram model (the DSIR_TARGET_LANG slice, add-one smoothed)
@@ -307,7 +307,12 @@ def importance_resample(docs: DataFrame) -> DataFrame:
     map-side and aggregated once per doc_id — the corpus is never
     shuffled on the word key, same plan family as unigram_logprob. The
     per-word expression subtracts two logs instead of ln of one fused
-    ratio, so no BIGINT product can overflow at 100-TB token counts."""
+    ratio, so no BIGINT product can overflow at 100-TB token counts.
+    `max_vocab` bounds the broadcast exactly as unigram_logprob's: both
+    models truncate to the top-V words by corpus count (deterministic
+    tiebreak) with ONE pooled OOV bucket carrying the leftover mass of
+    each model; smoothing constants (n_all, n_tgt, V) stay computed over
+    the full vocabulary, so both models remain proper distributions."""
     wexp = docs.select("doc_id", "lang", F.explode(_words_col()).alias("word"))
     call = wexp.groupBy("word").agg(F.count(F.lit(1)).alias("c_all"))
     ctgt = (
@@ -326,10 +331,26 @@ def importance_resample(docs: DataFrame) -> DataFrame:
     ratio = F.log(
         (F.col("c_tgt") + 1).cast("double") / (F.col("n_tgt") + F.col("v"))
     ) - F.log(F.col("c_all").cast("double") / F.col("n_all"))
+    if max_vocab is not None:
+        topv = vocab.orderBy(F.desc("c_all"), F.asc("word")).limit(int(max_vocab))
+        oov = (
+            vocab.join(topv.select("word"), "word", "left_anti")
+            .agg(
+                F.coalesce(F.sum("c_all"), F.lit(0)).alias("oov_all"),
+                F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("oov_tgt"),
+            )
+        )
+        scored = (
+            wexp.join(F.broadcast(topv), "word", "left")
+            .crossJoin(F.broadcast(oov))
+            .withColumn("c_all", F.coalesce(F.col("c_all"), F.col("oov_all")))
+            .withColumn("c_tgt", F.coalesce(F.col("c_tgt"), F.col("oov_tgt")))
+            .crossJoin(F.broadcast(consts))
+        )
+    else:
+        scored = wexp.join(F.broadcast(vocab), "word").crossJoin(F.broadcast(consts))
     per_doc = (
-        wexp.join(F.broadcast(vocab), "word")
-        .crossJoin(F.broadcast(consts))
-        .groupBy("doc_id", "lang")
+        scored.groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.round(F.avg(ratio), 6).alias("score"),

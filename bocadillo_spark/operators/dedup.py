@@ -389,7 +389,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
 # (Jaccard ≈ 0.818) — near-duplicates, not exact ones.
 FUZZY_SKIP_MOD = 3
 FUZZY_VARIANT_MOD = 7
-_FUZZY_IID_STRIDE = 1_000_000  # instance id = doc_id * stride + chunk pos
+# instance id = doc_id * stride + chunk pos. The stride bounds chunks/doc at
+# 1e9 (12 billion words — beyond any document); doc_id then must stay below
+# 9.2e9, far above the corpus range (and checked cheaply at plan time).
+_FUZZY_IID_STRIDE = 1_000_000_000
 
 
 def augment_with_fuzzy_footers(docs: DataFrame) -> DataFrame:
