@@ -64,7 +64,7 @@ def run_pipeline_once(spark, pages_path: str) -> float:
 
 
 MINHASH_INPUT_FILES = 16
-MINHASH_SCALING_REPLICAS = 6
+MINHASH_SCALING_REPLICAS = 12
 
 
 def minhash_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
@@ -349,12 +349,17 @@ def main() -> None:
             series="minhash_pairs",
             protocol=(
                 "minhash_dedup_pairs local[1] vs local[4], sf0.1 documents + "
-                "planted near-dups x6 caesar-disjoint replicas (33k docs, "
+                "planted near-dups x12 caesar-disjoint replicas (66k docs, "
                 "16-file parquet), autoBroadcastJoinThreshold=-1 (the 100-TB "
                 "join policy: the corpus side can never broadcast at scale; "
                 "with auto-broadcast the serial driver-side broadcast build "
                 "of the verify stage caps eff at ~0.55 — see "
-                "minhash_pairs_v3_broadcast_policy), warmups=1, fresh plans"
+                "minhash_pairs_v3_broadcast_policy). x12 sizes the parallel "
+                "work to dominate the ~3.5 s constant driver-side planning "
+                "cost (same rationale as the pipeline's x400 corpus; the x6 "
+                "series and the size trend are archived under "
+                "minhash_pairs_x6 / minhash_size_trend), warmups=1, fresh "
+                "plans"
             ),
             pairs=3,
             extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
