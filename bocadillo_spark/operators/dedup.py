@@ -376,8 +376,17 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # Hand back a MATERIALIZED, lineage-free copy and release every cache
+    # this function created: the labels frame is tiny (one row per node),
+    # but its lineage spans the whole upstream pair-generation plan, and a
+    # long-lived session running many queries accumulates those cached
+    # chains until the heap goes (observed: 94-query marathon OOM).
+    # localCheckpoint suffices in local mode; a cluster deployment with
+    # executor churn would use a reliable checkpoint dir instead.
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
     edges.unpersist()
-    return labels
+    return out
 
 
 # ---- chunk-granularity fuzzy dedup (paragraph MinHash) ---------------------

@@ -32,6 +32,9 @@ def main():
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.session.timeZone", "UTC")
+             # provision like bocadillo_spark.session.get_spark — the bare
+             # 1g default OOMs a 94-query single-session marathon
+             .config("spark.driver.memory", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
     con = duckdb.connect()
     for t in TABLES:
