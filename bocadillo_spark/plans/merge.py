@@ -406,6 +406,13 @@ def merge_upsert(
     for k, cnt in written.items():
         if cnt > 0:
             buckets[str(k)] = {"owner": version, "rows": cnt}
+    # A carried MOR entry's 'rows' is its BASE count only: delta rows are
+    # uncounted and tombstoned rows still counted, so summing would
+    # misreport live rows. Record None — as _merge_mor does — and let
+    # compact() restore the exact count.
+    carried_mor = any(
+        e.get("deltas") or e.get("deletes") for e in carried.values()
+    )
     meta = {
         "version": version,
         "parent": parent,
@@ -414,7 +421,9 @@ def merge_upsert(
         "key": list(key_cols),
         "n_buckets": n_buckets,
         "buckets": buckets,
-        "row_count": sum(i["rows"] for i in buckets.values()),
+        "row_count": (
+            None if carried_mor else sum(i["rows"] for i in buckets.values())
+        ),
         "schema": merged.schema.simpleString(),
         "schema_json": json.dumps(merged.schema.jsonValue()),
     }

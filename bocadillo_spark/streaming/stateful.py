@@ -36,10 +36,15 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# The running value total lives in state as INTEGER CENTS: each batch's
+# cents sum is a LongType added to a LongType, so no binary float error can
+# accumulate across micro-batches (the round-4 advice: dividing back to a
+# float dollar total per batch drifted, masked only by round(...,2) at
+# output). Division by 100 happens once, at emission.
 STATE_SCHEMA = StructType(
     [
         StructField("total_events", LongType()),
-        StructField("total_value", DoubleType()),
+        StructField("total_value_cents", LongType()),
     ]
 )
 
@@ -61,14 +66,14 @@ def make_tracker(ttl_ms: int | None):
         if state.hasTimedOut:  # TTL eviction
             state.remove()
             return
-        total_events, total_value = state.get if state.exists else (0, 0.0)
+        total_events, total_cents = state.get if state.exists else (0, 0)
         batch_events = 0
         for pdf in pdfs:
             batch_events += len(pdf)
             # exact accumulation: cents-integer arithmetic, no float drift
-            total_value += float(pdf["value"].mul(100).round().sum()) / 100.0
+            total_cents += int(pdf["value"].mul(100).round().sum())
         total_events += batch_events
-        state.update((total_events, total_value))
+        state.update((total_events, total_cents))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
@@ -76,7 +81,7 @@ def make_tracker(ttl_ms: int | None):
                 "user_id": [user_id],
                 "batch_events": [batch_events],
                 "total_events": [total_events],
-                "total_value": [round(total_value, 2)],
+                "total_value": [round(total_cents / 100.0, 2)],
             }
         )
 
@@ -131,20 +136,20 @@ def user_activity_stream_tws(
         def handleInputRows(self, key, rows, timerValues):
             (user_id,) = key
             prev = self._agg.get() if self._agg.exists() else None
-            total_events, total_value = prev if prev is not None else (0, 0.0)
+            total_events, total_cents = prev if prev is not None else (0, 0)
             batch_events = 0
             for pdf in rows:
                 batch_events += len(pdf)
                 # exact accumulation: cents-integer arithmetic, no float drift
-                total_value += float(pdf["value"].mul(100).round().sum()) / 100.0
+                total_cents += int(pdf["value"].mul(100).round().sum())
             total_events += batch_events
-            self._agg.update((total_events, total_value))
+            self._agg.update((total_events, total_cents))
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "batch_events": [batch_events],
                     "total_events": [total_events],
-                    "total_value": [round(total_value, 2)],
+                    "total_value": [round(total_cents / 100.0, 2)],
                 }
             )
 
