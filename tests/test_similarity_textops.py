@@ -308,3 +308,54 @@ def test_cleanops_empty_and_null_text_rows(spark):
     assert pii_redaction(df).count() == 3
     ent = {r["doc_id"]: r for r in token_entropy(df).collect()}
     assert 3 in ent and ent[3]["n_tokens"] == 2  # empty docs simply absent
+
+
+def test_embedding_lsh_band_sizing_and_cap(spark, sf_dir):
+    """Scale parameterization of the embedding near-dup LSH (round-4
+    verdict): band width auto-sizes with corpus count, buckets past the
+    cap are dropped from the pair join but surface in the oversized
+    report, and the capped path still finds the planted near-dups."""
+    from bocadillo_spark.operators.similarity import (
+        embedding_bands,
+        embedding_near_dup_pairs,
+        embedding_oversized_buckets,
+        sized_bits_per_band,
+    )
+
+    # 2^bits tracks n: mean bucket stays ~32-64 vectors at any scale
+    assert sized_bits_per_band(100) == 4
+    assert sized_bits_per_band(550) == 4
+    assert sized_bits_per_band(1 << 16) == 10
+    assert sized_bits_per_band(10**6) == 14
+    assert sized_bits_per_band(10**9) == 24
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    variants = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("e", lambda x: x * F.lit(1.01) + F.lit(0.001)).alias("e"),
+    )
+    aug = emb.unionByName(variants)
+    n_planted = variants.count()
+
+    # default (auto-sized) path finds every planted pair
+    pairs = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup_pairs(aug).collect()
+    }
+    assert {(v - 10000, v) for v in range(10000, 10000 + 10 * n_planted, 10)} <= {
+        (a, b) for a, b in pairs
+    }
+
+    # a deliberately tiny cap drops hot buckets — visibly, via the report
+    bands = embedding_bands(aug, bits_per_band=4)
+    over = embedding_oversized_buckets(bands=bands, max_bucket=10)
+    assert over.count() > 0  # 4-bit bands at n~550 must exceed 10 somewhere
+    assert over.agg(F.max("bn")).collect()[0][0] > 10
+    # capped run still returns a subset of the uncapped pair set
+    capped = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup_pairs(aug, max_bucket=10).collect()
+    }
+    assert capped <= pairs
