@@ -319,6 +319,23 @@ def importance_resample(docs: DataFrame, max_vocab: int | None = None) -> DataFr
     token is scored with the pooled — hence inflated — count. Acceptable
     for a sampling gate at scale; the graded query runs max_vocab=None,
     the exact model."""
+    kept = dsir_doc_scores(docs, max_vocab=max_vocab)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum(F.when(F.col("sampled"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("sampled_tokens"),
+    )
+
+
+def dsir_doc_scores(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
+    """Per-document DSIR scores and accept decisions: (doc_id, lang,
+    n_tokens, score, sampled). The whole importance_resample computation
+    minus its final per-lang rollup — extracted so compositions (the
+    curation pipeline) can keep the SAMPLED DOCUMENTS rather than the
+    summary; importance_resample wraps this with an identical plan. See
+    its docstring for the model, exactness, and scale-shape contract."""
     wexp = docs.select("doc_id", "lang", F.explode(_words_col()).alias("word"))
     call = wexp.groupBy("word").agg(F.count(F.lit(1)).alias("c_all"))
     ctgt = (
@@ -370,14 +387,7 @@ def importance_resample(docs: DataFrame, max_vocab: int | None = None) -> DataFr
         + 1
     )
     ln_u = F.round(F.log(k.cast("double") / F.lit(float(DSIR_HASH_M))), 6)
-    kept = per_doc.withColumn("sampled", ln_u < F.col("score"))
-    return kept.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("long").alias("n_sampled"),
-        F.sum(F.when(F.col("sampled"), F.col("n_tokens")).otherwise(0))
-        .cast("long")
-        .alias("sampled_tokens"),
-    )
+    return per_doc.withColumn("sampled", ln_u < F.col("score"))
 
 
 def importance_oracle_sql(table: str = "documents") -> str:

@@ -501,6 +501,49 @@ def _merge_mor(
     return meta
 
 
+# Compaction-policy knob — the analog of Iceberg's
+# commit.manifest.min-count-to-merge for this table protocol. MOR read cost
+# grows with the longest per-bucket segment chain (base + one delta file
+# per MOR commit that touched the bucket + one tombstone dir per commit):
+# _read_mor unions every segment version and anti-resolves tombstones with
+# one extra join, so a chain of length L reads L file groups where a
+# compacted table reads one. The union itself is linear and fine; what
+# degrades first is file-open/scheduling overhead (L small files per
+# bucket) and the widening tombstone join input. Policy: fold the chains
+# via compact() once ANY bucket's chain exceeds MAX_DELTA_CHAIN — by then
+# read amplification is ~MAX_DELTA_CHAIN x and one O(table) rewrite
+# amortizes it back to 1. Callers on a merge-heavy path invoke
+# maybe_compact() after each commit (or on a maintenance schedule);
+# test_merge.py asserts the chain stays bounded under N small merges.
+MAX_DELTA_CHAIN = 8
+
+
+def delta_chain_length(meta: dict) -> int:
+    """Longest per-bucket MOR segment chain in a snapshot: 1 (base) + its
+    delta files + its tombstone dirs. 1 means fully compacted; COW-only
+    tables never exceed 1."""
+    worst = 0
+    for e in (meta.get("buckets") or {}).values():
+        worst = max(
+            worst, 1 + len(e.get("deltas") or []) + len(e.get("deletes") or [])
+        )
+    return worst
+
+
+def maybe_compact(
+    spark: SparkSession, table_dir: str, max_chain: int = MAX_DELTA_CHAIN
+) -> dict | None:
+    """Apply the compaction policy: compact() iff the current snapshot's
+    longest delta chain exceeds `max_chain`. Returns the compaction commit
+    meta when it ran, else None. Data-identical either way (compact is a
+    pure rewrite), so maintenance can run on any schedule without
+    affecting readers."""
+    meta = _load_meta(table_dir, current_version(table_dir)) or {}
+    if delta_chain_length(meta) > max_chain:
+        return compact(spark, table_dir)
+    return None
+
+
 def compact(spark: SparkSession, table_dir: str, target_files: int = 4) -> dict:
     """Small-file compaction: rewrite the CURRENT snapshot into one file
     per bucket and commit it as a new SELF-CONTAINED snapshot (operation

@@ -210,3 +210,37 @@ def test_chunk_fuzzy_clusters_footer_fixture(spark, sf_dir):
     assert overlap == 0
     cl.unpersist()
     footer.unpersist()
+
+
+def test_chunk_fuzzy_short_tail_chunks_stay_singletons(spark):
+    """Chunks under 3 words carry no true word 3-gram (the round-4
+    advice): they must come back as SINGLETON clusters, never banded on
+    padded pseudo-shingles — distinct 1-2 word tails across docs used to
+    collapse into one spurious 'near-dup' cluster per block."""
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.dedup import chunk_fuzzy_clusters
+
+    body = " ".join(f"w{i}" for i in range(12))  # exactly one full chunk
+    rows = [
+        # same block, three DISTINCT 1-word tail chunks + one 2-word tail
+        (1, "s0", f"{body} alpha"),
+        (2, "s0", f"{body} beta"),
+        (3, "s0", f"{body} gamma"),
+        (4, "s0", f"{body} two words"),
+        # and two IDENTICAL 1-word tails: still no shingle evidence
+        (5, "s0", f"{body} same"),
+        (6, "s0", f"{body} same"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    cl = chunk_fuzzy_clusters(docs).cache()
+    tails = cl.where(F.col("pos") == 1)
+    n_tails = tails.count()
+    assert n_tails == 6
+    # every short tail is its own cluster (6 distinct labels), and none
+    # shares a cluster with any pos-0 body chunk
+    assert tails.select("cluster").distinct().count() == 6
+    body_clusters = {r["cluster"] for r in cl.where(F.col("pos") == 0).collect()}
+    tail_clusters = {r["cluster"] for r in tails.collect()}
+    assert not (body_clusters & tail_clusters)
+    cl.unpersist()
