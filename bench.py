@@ -65,7 +65,13 @@ def run_pipeline_once(spark, pages_path: str) -> float:
 
 MINHASH_INPUT_FILES = 16
 MINHASH_SCALING_REPLICAS = 12
-EMBEDDING_SCALING_REPLICAS = 6
+# x96 (211k vectors): after round 5 vectorized the projection AND the
+# per-pair verify dot (Arrow matmuls) and retuned band sizing to a ~4-vector
+# mean bucket, per-vector work fell ~6x — the corpus grows until the parallel
+# work again dominates the ~4 s constant driver-side planning cost (measured
+# Amdahl at x24: W~17 s, c~3.9 s, eff capped at 0.64; same rationale and
+# precedent as the minhash x12 and pipeline x400 corpora).
+EMBEDDING_SCALING_REPLICAS = 96
 
 
 def minhash_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
@@ -247,7 +253,7 @@ SERIES_BOUNDS = {
     "pairs": {"small_max": 60.0, "big_max": 20.0},
     "minhash_pairs": {"small_max": 150.0, "big_max": 40.0},
     "gopher_pairs": {"small_max": 45.0, "big_max": 15.0},
-    "embedding_pairs": {"small_max": 200.0, "big_max": 60.0},
+    "embedding_pairs": {"small_max": 60.0, "big_max": 15.0},
 }
 
 
@@ -514,10 +520,12 @@ def main() -> None:
                 "embeddings + planted x1.01 variants, "
                 f"x{EMBEDDING_SCALING_REPLICAS} cyclic-shift replicas "
                 f"({EMBEDDING_SCALING_REPLICAS * 2200} vectors, 16-file "
-                "parquet), auto-sized bits_per_band from corpus_count "
-                "(passed from metadata, outside the timed region), "
-                "autoBroadcastJoinThreshold=-1 (the pinned 100-TB join "
-                "policy), warmups=1, fresh plans"
+                "parquet), Arrow-matmul band projection + verify dot "
+                "(lsh_band_keys_pandas / pair_dot_pandas), ~4-vector "
+                "mean-bucket band sizing, auto-sized bits_per_band from "
+                "corpus_count (passed from metadata, outside the timed "
+                "region), autoBroadcastJoinThreshold=-1 (the pinned "
+                "100-TB join policy), warmups=1, fresh plans"
             ),
             pairs=1,
             extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},

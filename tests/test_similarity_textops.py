@@ -322,12 +322,12 @@ def test_embedding_lsh_band_sizing_and_cap(spark, sf_dir):
         sized_bits_per_band,
     )
 
-    # 2^bits tracks n: mean bucket stays ~32-64 vectors at any scale
-    assert sized_bits_per_band(100) == 4
-    assert sized_bits_per_band(550) == 4
-    assert sized_bits_per_band(1 << 16) == 10
-    assert sized_bits_per_band(10**6) == 14
-    assert sized_bits_per_band(10**9) == 24
+    # 2^bits tracks n: mean bucket stays ~2-4 vectors at any scale
+    assert sized_bits_per_band(100) == 5
+    assert sized_bits_per_band(550) == 8
+    assert sized_bits_per_band(1 << 16) == 14
+    assert sized_bits_per_band(10**6) == 18
+    assert sized_bits_per_band(10**9) == 28
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
@@ -359,3 +359,73 @@ def test_embedding_lsh_band_sizing_and_cap(spark, sf_dir):
         for r in embedding_near_dup_pairs(aug, max_bucket=10).collect()
     }
     assert capped <= pairs
+
+
+def test_lsh_band_keys_pandas_matches_expression(spark, sf_dir):
+    """The Arrow-batched matmul projection (lsh_band_keys_pandas, the
+    default inside embedding_bands) emits EXACTLY the band keys of the
+    interpreted higher-order-expression twin on real fixture embeddings —
+    the two paths may only diverge on dots at exactly 0.0, measure-zero
+    for real-valued vectors."""
+    from bocadillo_spark.functions import hashing as H
+    from bocadillo_spark.operators.similarity import (
+        lsh_band_keys_col,
+        lsh_band_keys_pandas,
+    )
+
+    bits = 5
+    planes = H.hyperplanes(64, n=16 * bits)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    both = emb.select(
+        "vec_id",
+        lsh_band_keys_col(F.col("e"), planes, bits).alias("expr_keys"),
+        lsh_band_keys_pandas(planes, bits)(F.col("e")).alias("pd_keys"),
+    )
+    assert both.where(F.col("expr_keys") != F.col("pd_keys")).count() == 0
+    assert both.count() > 0
+
+
+def test_bucket_scan_matches_joined_verify(spark, sf_dir):
+    """The bucket-scan plan (default embedding_near_dup_pairs) returns
+    the same pair set and 6-decimal cosines as the join-based twin —
+    including under a tiny max_bucket (cap enforced mid-stream) and a
+    tiny Arrow batch size (buckets forced to span batch boundaries, the
+    carry path)."""
+    from bocadillo_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_joined,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    variants = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("e", lambda x: x * F.lit(1.01) + F.lit(0.001)).alias("e"),
+    )
+    aug = emb.unionByName(variants)
+
+    def pairset(df):
+        return {
+            (r["vec_id_a"], r["vec_id_b"], round(r["cos"], 6))
+            for r in df.collect()
+        }
+
+    assert pairset(embedding_near_dup_pairs(aug)) == pairset(
+        embedding_near_dup_pairs_joined(aug)
+    )
+    # capped: both paths drop the same buckets
+    assert pairset(embedding_near_dup_pairs(aug, max_bucket=3)) == pairset(
+        embedding_near_dup_pairs_joined(aug, max_bucket=3)
+    )
+    # tiny Arrow batches exercise the cross-batch bucket carry
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        assert pairset(embedding_near_dup_pairs(aug)) == pairset(
+            embedding_near_dup_pairs_joined(aug)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
