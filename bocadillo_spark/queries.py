@@ -2803,9 +2803,10 @@ def q_grouped_zscore(spark, sf_dir):
 )
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over array<float> embeddings — the exact
-    baseline for ANN. Dot products via native zip_with/aggregate (JVM,
-    codegen), broadcast of the tiny query side: scales as one pass over
-    the candidate table."""
+    baseline for ANN. One Arrow-batched matmul per candidate batch against
+    the collected query matrix, per-partition partial top-k (only
+    n_parts×n_q×k tiny rows shuffle into the exact global window): scales
+    as one pass over the candidate table."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )

@@ -53,9 +53,13 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
     )
     res = minhash_dedup_pairs(docs, threshold=0.8)
-    # the entire signature→band→join→verify plan must be Python-free
+    # the plan's only Python is the Arrow-batched signature fold — no
+    # row-at-a-time eval, no per-pair Python in band join or verify. (The
+    # unexecuted plan inlines the persisted bands subtree into every
+    # reference, so the fold may PRINT several times; the persist makes it
+    # RUN once — persist_evicting's contract.)
     plan = res._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in plan and "ArrowEval" not in plan and "BatchEvalPython" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     pairs = {
         (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
         for r in res.collect()
@@ -90,7 +94,7 @@ def test_xxhash64_kernel_matches_spark(spark):
 
 def test_simhash_native_matches_kernel(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
-    sigs = simhash_signatures(docs)
+    sigs = simhash_signatures(docs, vectorized=False)
     plan = sigs._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "ArrowEval" not in plan
     got = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
@@ -98,6 +102,89 @@ def test_simhash_native_matches_kernel(spark, sf_dir):
         u = H.simhash64(r["text"] or "")
         want = u - (1 << 64 if u >= 1 << 63 else 0)
         assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_vectorized_folds_byte_identical_to_native(spark, sf_dir):
+    """The Arrow-batched MinHash and SimHash folds (the defaults) must
+    emit EXACTLY the native interpreted folds' signatures — both are pure
+    int64 arithmetic, so equality is bitwise, not approximate. Fixture
+    includes empty text (no shingles/tokens: minhash sig all-P31 init,
+    simhash 0) and short texts."""
+    from bocadillo_spark.operators.dedup import minhash_bands
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    extra = spark.createDataFrame(
+        [(900001, ""), (900002, "one"), (900003, "two words"), (900004, None)],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+
+    bv = minhash_bands(docs, fast=False, vectorized=True)
+    bn = minhash_bands(docs, fast=False, vectorized=False)
+    assert sorted(map(tuple, bv.collect())) == sorted(map(tuple, bn.collect()))
+
+    sv = {r["doc_id"]: r["simhash"]
+          for r in simhash_signatures(docs, vectorized=True).collect()}
+    sn = {r["doc_id"]: r["simhash"]
+          for r in simhash_signatures(docs, vectorized=False).collect()}
+    assert sv == sn and len(sv) == 204
+
+
+def test_fast_shingle_kernel_cardinalities_match_native(spark, sf_dir):
+    """The fused kernel's per-row DISTINCT shingle count must equal
+    size(word_3gram_col) for every row — the two families hash different
+    values but must see the SAME shingle set (same tokens-incl-empties
+    split, same max(n-2,1) window, same ''-padding); a mismatch means the
+    windowing or distinct semantics diverged. Exercises empty text, short
+    texts, duplicate shingles, and multi-space runs."""
+    import numpy as np
+    from bocadillo_spark.operators.dedup import _distinct_shingles, word_3gram_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    texts = [r["text"] for r in docs.collect()]
+    texts += ["", "one", "two words", "a b c", "a a a a a a", "x  y   z", None]
+    ro, _, n_rows = _distinct_shingles(np.array(texts, dtype=object))
+    fast_counts = list(np.bincount(ro, minlength=n_rows))
+    native = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    ).select(
+        "i", F.size(word_3gram_col(F.coalesce(F.col("text"), F.lit("")))).alias("n")
+    )
+    native_counts = [r["n"] for r in native.orderBy("i").collect()]
+    assert fast_counts == native_counts
+
+
+def test_fast_jaccard_equals_native_on_planted_pairs(spark, sf_dir):
+    """jaccard_pairs_pandas (hash-set Jaccard) must emit EXACTLY the
+    values jaccard_col (string-set Jaccard) emits on the planted near-dup
+    pairs — identical |∩| and |∪| integers, same int/int double division
+    (2^-64 collision probability per shingle pair is the only caveat)."""
+    from bocadillo_spark.operators.dedup import (
+        jaccard_col,
+        jaccard_pairs_pandas,
+        word_3gram_col,
+    )
+
+    docs = augment_with_near_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    )
+    a = docs.where(F.col("doc_id") < NEAR_DUP_STRIDE).select(
+        F.col("doc_id").alias("k"), F.col("text").alias("text_a")
+    )
+    b = docs.where(F.col("doc_id") >= NEAR_DUP_STRIDE).select(
+        (F.col("doc_id") - NEAR_DUP_STRIDE).alias("k"), F.col("text").alias("text_b")
+    )
+    pairs = a.join(b, "k")
+    res = pairs.select(
+        "k",
+        jaccard_pairs_pandas()(F.col("text_a"), F.col("text_b")).alias("jf"),
+        jaccard_col(
+            word_3gram_col(F.col("text_a")), word_3gram_col(F.col("text_b"))
+        ).alias("jn"),
+    ).collect()
+    assert len(res) > 0
+    for r in res:
+        assert r["jf"] == r["jn"], (r["k"], r["jf"], r["jn"])
 
 
 def test_simhash_near_dups(spark, sf_dir):

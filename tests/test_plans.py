@@ -64,11 +64,15 @@ def test_q3_plan_pushdown_and_broadcast(spark, sf_dir):
     assert "l_quantity" not in plan  # column pruning on lineitem
 
 
-def test_minhash_plan_is_python_free_and_bucketed(spark, sf_dir):
+def test_minhash_plan_shape(spark, sf_dir):
+    """dedup_minhash's only Python stage is the Arrow-batched signature
+    fold (the bands are persisted, so however often the subtree prints in
+    the unexecuted plan, the fold RUNS once); no row-at-a-time eval, no
+    quadratic join shape."""
     from bocadillo_spark.queries import QUERIES
 
     plan = _formatted(QUERIES["dedup_minhash"](spark, sf_dir))
-    for bad in ("MapInPandas", "ArrowEval", "BatchEvalPython", "CartesianProduct",
+    for bad in ("MapInPandas", "BatchEvalPython", "CartesianProduct",
                 "BroadcastNestedLoop"):
         assert bad not in plan, bad
 
@@ -272,10 +276,11 @@ def test_round4_ops_plans_python_free(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
     # chunk_fuzzy_clusters' CC loop needs actions; guard the pre-CC frame
-    # (the expensive stages: chunk explode -> signature -> bands -> edges)
+    # (the expensive stages: chunk explode -> signature -> bands -> edges).
+    # Its only Python stage is the Arrow-batched signature fold.
     fz = augment_with_fuzzy_footers(docs)
     cl = chunk_fuzzy_clusters(fz)
     plan = _formatted(cl)
-    for bad in ("MapInPandas", "ArrowEval", "BatchEvalPython",
+    for bad in ("MapInPandas", "BatchEvalPython",
                 "CartesianProduct", "BroadcastNestedLoop"):
         assert bad not in plan, ("chunk_fuzzy_clusters", bad)

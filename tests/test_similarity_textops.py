@@ -429,3 +429,51 @@ def test_bucket_scan_matches_joined_verify(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_brute_force_vectorized_equals_crossjoin_twin(spark, sf_dir):
+    """The mapInPandas partial-top-k brute force (the default) must return
+    the same (q_id, neighbor_id) rows and round-9 cosines as the
+    crossJoin + interpreted-fold twin, including under tiny Arrow batches
+    (partial top-k accumulated across many batches)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q, c = split_query_candidates(emb, n_queries=4)
+
+    def rows(df):
+        return sorted(
+            (r["q_id"], r["neighbor_id"], round(r["cos"], 9)) for r in df.collect()
+        )
+
+    assert rows(brute_force_topk(q, c, k=7, vectorized=True)) == rows(
+        brute_force_topk(q, c, k=7, vectorized=False)
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        assert rows(brute_force_topk(q, c, k=7, vectorized=True)) == rows(
+            brute_force_topk(q, c, k=7, vectorized=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_ivf_assign_vectorized_equals_minby_twin(spark, sf_dir):
+    """The batched-argmin IVF assignment (the default) must agree with the
+    crossJoin + min_by twin on every vector (kmeans centroids: no exact
+    distance ties, so both argmins are unambiguous)."""
+    from bocadillo_spark.operators.similarity import (
+        _as_double,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    cents = kmeans_centroids(e, n_clusters=12)
+    assert cents is not None
+    av = {r["vec_id"]: r["list_id"]
+          for r in ivf_assign(e, cents, vectorized=True).collect()}
+    an = {r["vec_id"]: r["list_id"]
+          for r in ivf_assign(e, cents, vectorized=False).collect()}
+    assert av == an and len(av) > 0
