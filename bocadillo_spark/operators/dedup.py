@@ -348,11 +348,11 @@ def minhash_bands(docs: DataFrame, vectorized: bool = True, fast: bool = True) -
         sigs = hashed.select("doc_id", fold.alias("sig"))
     band_arr = F.array(
         *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.xxhash64(
-                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
-                ).cast("string"),
+            # LONG band key (xxhash64 of the band index + signature slice):
+            # vs the previous "b:hash" strings, halves the shuffled key
+            # bytes and makes every downstream groupBy/join compare int64s
+            F.xxhash64(
+                F.lit(b), F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
             )
             for b in range(N_BANDS)
         ]
@@ -361,17 +361,45 @@ def minhash_bands(docs: DataFrame, vectorized: bool = True, fast: bool = True) -
 
 
 def _candidates_from_bands(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Two-level bucket-join: (1) per-key counts (map-side combined — the
+    shuffle carries one row per distinct key per partition), keeping only
+    the OVERSIZED keys, a set bounded by |bands|/max_bucket and in
+    practice a handful; (2) broadcast ANTI-join those few keys away, then
+    ONE groupBy collecting each surviving bucket's members — aggregation
+    buffers are bounded by max_bucket by construction, an oversized bucket
+    is never materialized — and emit its C(n,2) pairs as a native nested
+    transform (≤ C(max_bucket,2) per bucket). Total: two shuffles of the
+    band table (one of them count-combined) + one shuffle of the candidate
+    pairs for the cross-band distinct — vs four full shuffles for the
+    count→join-prune→self-join→distinct shape this replaces (the self-join
+    shuffled the table twice more and dominated the measured wall). The
+    explicit broadcast is exempt from the pinned no-auto-broadcast policy:
+    the build side is the oversized-key set, provably tiny, never the
+    corpus."""
     sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))
-    ok_keys = sizes.where(F.col("bn") <= max_bucket).select("band_key")
-    pruned = bands.join(ok_keys, "band_key")
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    return (
-        a.join(b, on="band_key")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+    over = sizes.where(F.col("bn") > max_bucket).select("band_key")
+    pruned = bands.join(F.broadcast(over), "band_key", "left_anti")
+    buckets = (
+        pruned.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ids) - 2),
+            lambda i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.get(ids, i).alias("doc_id_a"), y.alias("doc_id_b")
+                ),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
         .distinct()
     )
 
@@ -586,10 +614,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-    ).cache()
-    # `labels` may be a projection over the cached frame; unpersist must
-    # target the frame .cache() was called on, or the entry leaks
-    cached = labels
+    )
     for _ in range(max_iters):
         # neighbor's current label, take the min of own and neighbors'.
         # The own rows carry a flag so the groupBy can ALSO recover each
@@ -619,6 +644,19 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         parent = prop.select(
             F.col("doc_id").alias("component"), F.col("component").alias("comp2")
         )
+        # localCheckpoint, NOT cache: `prop` feeds both join sides, so the
+        # round's logical plan holds TWO copies of the previous round's —
+        # a cache leaves that lineage intact and the analyzed tree doubles
+        # every round (2^rounds nodes; observed as a driver-heap OOM in
+        # TreeNode.generateTreeString at default memory, on a 1000-node
+        # graph — the PLAN exploded, never the data). The checkpoint cuts
+        # the plan to a flat scan each round, so round cost is O(1) in
+        # plan size and O(nodes) in data. Lazy (eager=False): the
+        # convergence count below is the materializing job, keeping one
+        # job per round. Blocks are one row per node, released by the
+        # context cleaner as each round's reference drops; a cluster
+        # deployment with executor churn would use a reliable checkpoint
+        # dir instead.
         new_labels = (
             prop.join(parent, "component", "left")
             .select(
@@ -628,26 +666,17 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
                 ).alias("component"),
                 "old_component",
             )
-        ).cache()
+        ).localCheckpoint(eager=False)
         changed = new_labels.where(
             F.col("component") != F.col("old_component")
         ).count()
-        cached.unpersist()
-        cached = new_labels
         labels = new_labels.drop("old_component")
         if changed == 0:
             break
-    # Hand back a MATERIALIZED, lineage-free copy and release every cache
-    # this function created: the labels frame is tiny (one row per node),
-    # but its lineage spans the whole upstream pair-generation plan, and a
-    # long-lived session running many queries accumulates those cached
-    # chains until the heap goes (observed: 94-query marathon OOM).
-    # localCheckpoint suffices in local mode; a cluster deployment with
-    # executor churn would use a reliable checkpoint dir instead.
-    out = labels.localCheckpoint(eager=True)
-    cached.unpersist()
+    # `labels` is already a projection over the last round's checkpoint —
+    # lineage-free, independent of the edges cache, one row per node.
     edges.unpersist()
-    return out
+    return labels
 
 
 # ---- chunk-granularity fuzzy dedup (paragraph MinHash) ---------------------
@@ -734,11 +763,8 @@ def chunk_fuzzy_clusters(docs: DataFrame, block_col: str = "source") -> DataFram
     )
     band_arr = F.array(
         *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.xxhash64(
-                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
-                ).cast("string"),
+            F.xxhash64(
+                F.lit(b), F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
             )
             for b in range(N_BANDS)
         ]
@@ -784,15 +810,14 @@ def simhash_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     chunks = (sigs.select(
         "doc_id",
         "simhash",
+        # LONG chunk key: (chunk index << 16) | 16-bit chunk value — int64
+        # compares/shuffles instead of the previous "i:value" strings
         F.explode(
             F.array(
                 *[
-                    F.concat(
-                        F.lit(f"{i}:"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
-                        .cast("string"),
-                    )
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                    .bitwiseOR(F.lit(i << 16).cast("long"))
                     for i in range(4)
                 ]
             )
