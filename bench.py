@@ -64,7 +64,12 @@ def run_pipeline_once(spark, pages_path: str) -> float:
 
 
 MINHASH_INPUT_FILES = 16
-MINHASH_SCALING_REPLICAS = 12
+# x48 (264k docs): round 5 replaced the interpreted shingle chain + fold
+# with the fused Arrow signature kernel — per-doc work fell ~4.5x (local[1]
+# 90 s -> 20 s on the x12 corpus), so the corpus grows until the parallel
+# work again dominates the ~4 s constant driver-side planning cost (same
+# rationale as the embedding x96 and pipeline x400 corpora).
+MINHASH_SCALING_REPLICAS = 48
 # x96 (211k vectors): after round 5 vectorized the projection AND the
 # per-pair verify dot (Arrow matmuls) and retuned band sizing to a ~4-vector
 # mean bucket, per-vector work fell ~6x — the corpus grows until the parallel
@@ -91,26 +96,36 @@ def minhash_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
     persist bookkeeping) caps measurable efficiency at ~0.55 (series
     preserved under minhash_pairs_v2_small_corpus). Replicas scale the
     parallel work so the pair measures the operator, exactly why the
-    pipeline series uses a x400 corpus. Each replica's text is
-    Caesar-rotated (a bijective char map: word equality — hence planted
-    near-dup structure and per-replica bucket sizes — is preserved
-    exactly, while replicas share no shingles, so no cross-replica bucket
-    blowup). The write happens once, outside every timed region."""
+    pipeline series uses a x400 corpus. Each replica's words carry a
+    replica-unique suffix (a bijective per-replica word map: word
+    equality — hence planted near-dup structure, Jaccard values, and
+    per-replica bucket sizes — is preserved exactly, while no word is
+    ever shared across replicas, so no cross-replica bucket blowup at ANY
+    replica count; the earlier Caesar-rotation map was bijective too but
+    wrapped at 26 — replica 26 was byte-identical to replica 0, which at
+    x48 made 22 replica pairs exact duplicates and blew candidates up
+    180x; the suffix map has no wrap). The write happens once, outside
+    every timed region."""
     from pyspark.sql import functions as F
 
     from bocadillo_spark.operators import dedup as D
 
     tag = sf_dir.strip("/").replace("/", "_")
-    path = f"{BENCH_DIR}/minhash_docs_{tag}_f{MINHASH_INPUT_FILES}_r{replicas}"
+    path = f"{BENCH_DIR}/minhash_docs_{tag}_f{MINHASH_INPUT_FILES}_r{replicas}_w"
     if not os.path.exists(f"{path}/_SUCCESS"):
         aug = D.augment_with_near_dups(
             spark.read.parquet(f"{sf_dir}/documents.parquet")
         )
-        alpha = "abcdefghijklmnopqrstuvwxyz"
         parts = [
             aug.select(
                 (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
-                F.translate(F.col("text"), alpha, alpha[r:] + alpha[:r]).alias("text"),
+                F.array_join(
+                    F.transform(
+                        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                        lambda w: F.concat(w, F.lit(f"_{r}")),
+                    ),
+                    " ",
+                ).alias("text"),
             )
             for r in range(replicas)
         ]
@@ -127,18 +142,21 @@ EMBEDDING_INPUT_FILES = 16
 def embedding_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
     """Materialize the embedding near-dup corpus (embeddings + planted
     x1.01+0.001 variants, the q_dedup_embedding construction) as multi-file
-    parquet, replica-scaled. Replica r CYCLIC-SHIFTS every embedding by r
-    positions: a coordinate permutation preserves norms and within-replica
-    cosines EXACTLY (planted near-dup pairs stay near-dups, bucket-size
-    distribution is statistically unchanged under fixed random
-    hyperplanes), while cross-replica cosines are the lag-r autocorrelation
-    of i.i.d. noise — ~0, so replicas add no cross-replica near-dup pairs.
-    Same rationale as the minhash corpus' Caesar rotation; written once,
-    outside every timed region."""
+    parquet, replica-scaled. Replica r CYCLIC-SHIFTS every embedding by
+    r%64 positions and NEGATES it on odd r//64 "laps": both are linear
+    isometries, so within-replica cosines — planted near-dup structure,
+    bucket-size distribution under fixed random hyperplanes — are
+    preserved EXACTLY, while cross-replica cosines are ~0 (the lag-r
+    autocorrelation of i.i.d. noise) or exactly negative for same-shift
+    laps (cos(v,-v) = -1 — never a near-dup). The negation matters: a
+    pure cyclic shift wraps at dim=64, making replica 64 byte-identical
+    to replica 0 (the same wrap bug the minhash corpus' Caesar map had);
+    the lap sign breaks the tie through x128. Written once, outside
+    every timed region."""
     from pyspark.sql import functions as F
 
     tag = sf_dir.strip("/").replace("/", "_")
-    path = f"{BENCH_DIR}/embedding_vecs_{tag}_f{EMBEDDING_INPUT_FILES}_r{replicas}"
+    path = f"{BENCH_DIR}/embedding_vecs_{tag}_f{EMBEDDING_INPUT_FILES}_r{replicas}_s"
     if not os.path.exists(f"{path}/_SUCCESS"):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
@@ -149,12 +167,16 @@ def embedding_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
         )
         aug = emb.unionByName(variants)
         dim = 64
+        assert replicas <= 128, "lap-sign scheme is collision-free through x128"
         parts = [
             aug.select(
                 (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
-                F.concat(
-                    F.slice(F.col("e"), r % dim + 1, dim - r % dim),
-                    F.slice(F.col("e"), 1, r % dim),
+                F.transform(
+                    F.concat(
+                        F.slice(F.col("e"), r % dim + 1, dim - r % dim),
+                        F.slice(F.col("e"), 1, r % dim),
+                    ),
+                    lambda x: x * F.lit(1.0 if (r // dim) % 2 == 0 else -1.0),
                 ).alias("e"),
             )
             for r in range(replicas)
