@@ -285,7 +285,12 @@ SERIES_BOUNDS = {
     # The x12 pre-fused series (healthy ~85-95 s / 25-29 s, bounds 150/40)
     # and the x48 first-fused series (bounds 70/18) are archived under
     # minhash_pairs_v4_x12_prefused / minhash_pairs_v5_x48_fused.
-    "minhash_pairs": {"small_max": 80.0, "big_max": 24.0},
+    # small_min is a protocol-identity floor, not a throttle bound: a pair
+    # whose small wall lands FAR below the healthy mode was not measured
+    # on the pinned x96/sf0.1 corpus (e.g. a bench run pointed at a
+    # smaller SPARK_GRAFT_SF_DIR materializes a different corpus under the
+    # same series name) and must not enter the median in either direction.
+    "minhash_pairs": {"small_max": 80.0, "big_max": 24.0, "small_min": 30.0},
     "gopher_pairs": {"small_max": 45.0, "big_max": 15.0},
     "embedding_pairs": {"small_max": 60.0, "big_max": 15.0},
 }
@@ -295,7 +300,11 @@ def _pair_excluded(series: str, p: dict) -> bool:
     b = SERIES_BOUNDS.get(series)
     if b is None:
         return False
-    return p["small_sec"] > b["small_max"] or p["big_sec"] > b["big_max"]
+    return (
+        p["small_sec"] > b["small_max"]
+        or p["big_sec"] > b["big_max"]
+        or p["small_sec"] < b.get("small_min", 0.0)
+    )
 
 
 def cpu_probe_mops(seconds: float = 0.25) -> float:
@@ -373,11 +382,18 @@ def scaling_pairs(
     for p in plist:
         p["excluded"] = _pair_excluded(series, p)
     if series in SERIES_BOUNDS:
+        _b = SERIES_BOUNDS[series]
+        _floor = (
+            f" or small_sec < {_b['small_min']} (protocol-identity floor: a "
+            "far-too-fast pair was not measured on the pinned corpus)"
+            if "small_min" in _b else ""
+        )
         history[f"{series}_exclusion_rule"] = (
-            f"excluded iff small_sec > {SERIES_BOUNDS[series]['small_max']} or "
-            f"big_sec > {SERIES_BOUNDS[series]['big_max']} (pinned ~1.5x the "
+            f"excluded iff small_sec > {_b['small_max']} or "
+            f"big_sec > {_b['big_max']} (pinned ~1.5x the "
             "healthy-mode wall; drained-credit pairs fail the big bound while "
-            "their small wall stays in band — see bench.py SERIES_BOUNDS)"
+            f"their small wall stays in band — see bench.py SERIES_BOUNDS)"
+            + _floor
         )
     try:
         with open(hist_path, "w") as f:
@@ -413,8 +429,82 @@ def main() -> None:
 
     from bocadillo_spark.session import get_spark
 
+    # Materialize every bench input in ONE prep session, then stop it —
+    # each timed run must own the only live SparkContext (local-mode
+    # getOrCreate would hand back the prep context otherwise).
     spark = get_spark(app_name="bench_setup", cores=cpus)
     pages_path, n_docs = materialize_pages(spark, sf_dir, replicas)
+    if do_scaling:
+        mh_scaling_path = minhash_input_path(
+            spark, sf_dir, replicas=MINHASH_SCALING_REPLICAS
+        )
+        emb_scaling_path = embedding_input_path(
+            spark, sf_dir, replicas=EMBEDDING_SCALING_REPLICAS
+        )
+        emb_n = spark.read.parquet(emb_scaling_path).count()
+    spark.stop()
+
+    # ORDER matters under the burst-credit regime: the whole scaling
+    # block runs FIRST — before the per-query section's ~15-20 min of
+    # sustained load drains the VM's burst credits — and within it the
+    # minhash series, the one whose persisted median carries the
+    # north_rule bar, runs first of all (round-4 verdict #1: the r04
+    # driver run appended three drained-credit pairs because minhash ran
+    # last, ~30 min into sustained load; round 5 measured the drain again
+    # within its own seeding session — pairs 7-9 walls rose 15-35% over
+    # pairs 1-6). The pipeline series (66+ pairs of history) and the
+    # embedding series absorb the drained tail, and the SERIES_BOUNDS
+    # exclusion rule flags whatever still lands drained — in any series,
+    # symmetrically.
+    scaling_results: dict[str, dict] = {}
+    if do_scaling:
+        scaling_results["scaling_minhash"] = scaling_pairs(
+            lambda s, p=mh_scaling_path: run_minhash_once(s, sf_dir, p),
+            series="minhash_pairs",
+            protocol=(
+                "minhash_dedup_pairs local[1] vs local[4], sf0.1 documents + "
+                "planted near-dups x96 word-suffix-disjoint replicas (528k "
+                "docs, 16-file parquet), fused Arrow signature kernel, "
+                "autoBroadcastJoinThreshold=-1 (the 100-TB join policy: the "
+                "corpus side can never broadcast at scale; with "
+                "auto-broadcast the serial driver-side broadcast build of "
+                "the verify stage caps eff at ~0.55 — see "
+                "minhash_pairs_v3_broadcast_policy). x96 sizes the parallel "
+                "work to dominate the ~3-7 s constant driver-side planning "
+                "cost after the fused kernel cut per-doc work ~4.5x — the "
+                "x48 first attempt measured healthy effs 0.64-0.77, Amdahl "
+                "caps it at ~0.78 (same rationale as the pipeline's x400 "
+                "corpus; the x6/x12/x48 earlier series and the size trend "
+                "are archived under minhash_pairs_x6 / "
+                "minhash_pairs_v4_x12_prefused / minhash_pairs_v5_x48_fused "
+                "/ minhash_size_trend), warmups=1, fresh plans"
+            ),
+            pairs=3,
+            extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+        )
+        scaling_results["scaling"] = scaling_pairs(
+            lambda s: run_pipeline_once(s, pages_path)
+        )
+        scaling_results["scaling_embedding"] = scaling_pairs(
+            lambda s, p=emb_scaling_path, n=emb_n: run_embedding_once(s, p, n),
+            series="embedding_pairs",
+            protocol=(
+                "embedding_near_dup_pairs local[1] vs local[4], sf0.1 "
+                "embeddings + planted x1.01 variants, "
+                f"x{EMBEDDING_SCALING_REPLICAS} cyclic-shift replicas "
+                f"({EMBEDDING_SCALING_REPLICAS * 2200} vectors, 16-file "
+                "parquet), Arrow-matmul band projection + verify dot "
+                "(lsh_band_keys_pandas / pair_dot_pandas), ~4-vector "
+                "mean-bucket band sizing, auto-sized bits_per_band from "
+                "corpus_count (passed from metadata, outside the timed "
+                "region), autoBroadcastJoinThreshold=-1 (the pinned "
+                "100-TB join policy), warmups=1, fresh plans"
+            ),
+            pairs=1,
+            extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+        )
+
+    spark = get_spark(app_name="bench_queries", cores=cpus)
 
     from bocadillo_spark import queries as Q
 
@@ -503,71 +593,7 @@ def main() -> None:
         "cores": cpus,
         "task_cpus": task_cpus,
     }
-    if do_scaling:
-        # ORDER matters under the burst-credit regime: the minhash series —
-        # the one whose persisted median carries the north_rule bar — runs
-        # FIRST in the scaling block (round-4 verdict #1: the r04 driver
-        # run appended three drained-credit pairs because minhash ran last,
-        # ~30 min into sustained load). The pipeline series (66+ pairs of
-        # history) and the embedding series absorb the drained tail, and
-        # the SERIES_BOUNDS exclusion rule flags whatever still lands
-        # drained — in any series, symmetrically.
-        prep = get_spark(app_name="mh_prep", cores=cpus)
-        try:
-            mh_scaling_path = minhash_input_path(
-                prep, sf_dir, replicas=MINHASH_SCALING_REPLICAS
-            )
-            emb_scaling_path = embedding_input_path(
-                prep, sf_dir, replicas=EMBEDDING_SCALING_REPLICAS
-            )
-            emb_n = prep.read.parquet(emb_scaling_path).count()
-        finally:
-            prep.stop()
-        result["scaling_minhash"] = scaling_pairs(
-            lambda s, p=mh_scaling_path: run_minhash_once(s, sf_dir, p),
-            series="minhash_pairs",
-            protocol=(
-                "minhash_dedup_pairs local[1] vs local[4], sf0.1 documents + "
-                "planted near-dups x96 word-suffix-disjoint replicas (528k "
-                "docs, 16-file parquet), fused Arrow signature kernel, "
-                "autoBroadcastJoinThreshold=-1 (the 100-TB join policy: the "
-                "corpus side can never broadcast at scale; with "
-                "auto-broadcast the serial driver-side broadcast build of "
-                "the verify stage caps eff at ~0.55 — see "
-                "minhash_pairs_v3_broadcast_policy). x96 sizes the parallel "
-                "work to dominate the ~3-7 s constant driver-side planning "
-                "cost after the fused kernel cut per-doc work ~4.5x — the "
-                "x48 first attempt measured healthy effs 0.64-0.77, Amdahl "
-                "caps it at ~0.78 (same rationale as the pipeline's x400 "
-                "corpus; the x6/x12/x48 earlier series and the size trend "
-                "are archived under minhash_pairs_x6 / "
-                "minhash_pairs_v4_x12_prefused / minhash_pairs_v5_x48_fused "
-                "/ minhash_size_trend), warmups=1, fresh plans"
-            ),
-            pairs=3,
-            extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
-        )
-        result["scaling"] = scaling_pairs(
-            lambda s: run_pipeline_once(s, pages_path)
-        )
-        result["scaling_embedding"] = scaling_pairs(
-            lambda s, p=emb_scaling_path, n=emb_n: run_embedding_once(s, p, n),
-            series="embedding_pairs",
-            protocol=(
-                "embedding_near_dup_pairs local[1] vs local[4], sf0.1 "
-                "embeddings + planted x1.01 variants, "
-                f"x{EMBEDDING_SCALING_REPLICAS} cyclic-shift replicas "
-                f"({EMBEDDING_SCALING_REPLICAS * 2200} vectors, 16-file "
-                "parquet), Arrow-matmul band projection + verify dot "
-                "(lsh_band_keys_pandas / pair_dot_pandas), ~4-vector "
-                "mean-bucket band sizing, auto-sized bits_per_band from "
-                "corpus_count (passed from metadata, outside the timed "
-                "region), autoBroadcastJoinThreshold=-1 (the pinned "
-                "100-TB join policy), warmups=1, fresh plans"
-            ),
-            pairs=1,
-            extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
-        )
+    result.update(scaling_results)
 
     print(json.dumps(result))
 
