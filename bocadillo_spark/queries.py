@@ -1526,7 +1526,20 @@ def q_streaming_dedup_neardup(spark, sf_dir):
         "doc_id", "text"
     )
     in_dir = f"{root}/neardup_in"
-    if not os.path.exists(in_dir):
+    done_marker = f"{root}/neardup_in_DONE"
+    if not os.path.exists(done_marker):
+        # two sequential appends → parquet's _SUCCESS exists after the
+        # FIRST one, so a crash between them would leave a half corpus
+        # that looks complete; gate on an explicit post-both marker and
+        # rebuild from scratch otherwise
+        import shutil
+
+        shutil.rmtree(in_dir, ignore_errors=True)
+        # a rebuilt corpus gets new part-file names, which a surviving
+        # checkpoint would happily ingest ON TOP of the old sink rows —
+        # downstream state is untrustworthy with the input, drop it too
+        shutil.rmtree(f"{root}/neardup_out", ignore_errors=True)
+        shutil.rmtree(f"{root}/neardup_ckpt", ignore_errors=True)
         # originals before variants, two files each — matches span
         # micro-batch boundaries and every variant meets its original's
         # rep state, never the reverse
@@ -1536,6 +1549,8 @@ def q_streaming_dedup_neardup(spark, sf_dir):
         docs.where(F.col("doc_id") >= NEAR_DUP_STRIDE).coalesce(2).write.mode(
             "append"
         ).parquet(in_dir)
+        with open(done_marker, "w") as fh:
+            fh.write("ok")
     out_dir = f"{root}/neardup_out"
     run_neardup_stream(
         spark, in_dir, out_dir, f"{root}/neardup_ckpt", max_files_per_trigger=1
