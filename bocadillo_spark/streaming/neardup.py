@@ -22,9 +22,13 @@ signatures (rep_ids + a flat 64·k sig array — flat because nested
 array<array<long>> state round-trips are the fragile path). A new doc is
 compared against the bucket's reps on the MinHash ESTIMATE (fraction of
 agreeing permutation minima — E[est] = true Jaccard, sd ≈
-sqrt(J(1-J)/64) ≈ 0.05 at J=0.8): best rep ≥ threshold → emit a match
-and do NOT promote the doc to rep (a duplicate must not become the thing
-later docs dedup against); otherwise the doc joins the rep set if the
+sqrt(J(1-J)/64) ≈ 0.05 at J=0.8; the default emit threshold 0.6 leaves
+a 4-sigma margin below the 0.8 dedup bar, binomial tail
+P(est < 0.6 | J = 0.8) ≈ 3e-5 — and with pinned permutation seeds each
+pair's outcome is deterministic, not sampled): best rep ≥ threshold →
+emit a match and do NOT promote the doc to rep (a duplicate must not
+become the thing later docs dedup against); otherwise the doc joins the
+rep set if the
 bucket is under `max_reps` (the MAX_BUCKET analog — a degenerate hot
 bucket, e.g. empty texts, caps its state at max_reps signatures and every
 later member simply matches, so state stays bounded per key by
