@@ -773,3 +773,210 @@ def lsh_topk(
         .where(F.col("rn") <= k)
         .select("q_id", "neighbor_id", "cos")
     )
+
+
+# ---- SemDeDup-style semantic dedup ------------------------------------------
+# Semantic (embedding-space) dedup per SemDeDup (Abbas et al. 2023,
+# arXiv:2303.09540): k-means the corpus into clusters, then find duplicate
+# GROUPS within each cluster (pairs at cos >= 1 - eps, transitively closed)
+# and keep exactly one representative per group. Differs from the sign-LSH
+# near-dup path above in both mechanism (learned coarse quantizer instead
+# of random hyperplane bands — near-dups land in one cluster by training,
+# not by banding probability) and output (group membership + keep decision,
+# not a pair list). Complements, not replaces, embedding_near_dup_pairs:
+# SemDeDup's recall depends on cluster assignment putting near-dups
+# together, which the paper accepts by sizing n_clusters so clusters stay
+# small; the LSH path has quantified per-band recall instead.
+#
+# Scale shape (the paper's own strategy, re-expressed Spark-first): k-means
+# trains on a sample (kmeans_centroids / write_ivf_index's train_fraction
+# argument shows the pattern); assignment is ONE Arrow matmul pass over the
+# corpus (ivf_assign, linear); the per-cluster scan is one shuffle of the
+# corpus hash-partitioned on list_id followed by a streaming mapInPandas
+# union-find — per-cluster cost is O(k^2) in CLUSTER size, which
+# n_clusters ~ N / target_cluster_size holds constant, and a cluster that
+# exceeds `max_cluster` passes through UN-deduped (no silent data loss)
+# and is surfaced via semantic_oversized_clusters, mirroring the
+# MAX_BUCKET + oversized-report contract of the MinHash and LSH paths.
+
+SEM_MAX_CLUSTER = 8192
+
+
+def semantic_dedup(
+    vecs: DataFrame,
+    n_clusters: int = 20,
+    eps: float = 0.04,
+    max_cluster: int = SEM_MAX_CLUSTER,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, e) -> (vec_id, list_id, group_rep, keep).
+
+    group_rep: min vec_id of the vector's duplicate group within its
+    cluster (vectors with no duplicate are their own singleton group).
+    keep: SemDeDup's representative choice — within each group keep the
+    ONE vector with the LOWEST cosine similarity to its cluster centroid
+    (the paper keeps low-centroid-similarity examples to preserve
+    diversity), ties broken by min vec_id. Oversized clusters
+    (> max_cluster) pass through as all-singleton / all-keep.
+
+    Deterministic end to end: seed-pinned k-means (or caller-supplied
+    centroids), first-min argmin assignment, exact float64 in-cluster
+    matmul, order-independent union-find (edges applied from a sorted
+    pair list)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(vecs, n_clusters=n_clusters)
+    if centroids is None:  # pyspark.ml unavailable: stride fallback
+        centroids = vecs.where(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+        )
+    assigned = ivf_assign(vecs, centroids)
+
+    # centroid matrix into the worker closure: n_clusters rows,
+    # driver-bounded by construction (the same bound ivf_assign relies on)
+    crows = sorted(
+        centroids.select("centroid_id", "ce").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    c_by_id = {
+        int(r["centroid_id"]): np.asarray(r["ce"], dtype=np.float64) for r in crows
+    }
+    threshold = 1.0 - eps
+
+    def dedup_cluster(ids, M, list_id):
+        """Union-find over the thresholded cosine graph of ONE cluster,
+        then the SemDeDup keep rule. ids ascending (sorted upstream)."""
+        k = len(ids)
+        order = np.argsort(ids, kind="stable")
+        ids, M = ids[order], M[order]
+        parent = np.arange(k)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        if k > 1:
+            nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+            nrm[nrm == 0.0] = 1.0
+            G = (M @ M.T) / np.outer(nrm, nrm)
+            ia, ib = np.triu_indices(k, 1)
+            hit = G[ia, ib] >= threshold
+            # ia < ib and ids ascending: union toward the smaller index
+            for a, b in zip(ia[hit], ib[hit]):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(k)])
+        group_rep = ids[roots]
+        ce = c_by_id.get(int(list_id))
+        if ce is None or k == 1:
+            keep = np.ones(k, dtype=bool)
+        else:
+            cnrm = float(np.sqrt(ce @ ce)) or 1.0
+            nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+            nrm[nrm == 0.0] = 1.0
+            sim_c = (M @ ce) / (nrm * cnrm)
+            keep = np.zeros(k, dtype=bool)
+            for r in np.unique(roots):
+                members = np.flatnonzero(roots == r)
+                # lowest centroid similarity wins; ties -> min vec_id,
+                # which is members' first element (ids ascending)
+                best = members[np.argmin(np.round(sim_c[members], 12))]
+                keep[best] = True
+        return ids, group_rep, keep
+
+    def scan(batches):
+        # clusters are contiguous runs (hash-partitioned + sorted on
+        # list_id); carry the open tail cluster across Arrow batches —
+        # same streaming-run shape as _bucket_scan_factory
+        carry_lid = None
+        carry_ids = None
+        carry_vs = None
+        carry_over = False
+
+        def emit(lid, ids, M, oversized):
+            if oversized:
+                return pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "list_id": np.full(len(ids), lid, dtype=np.int64),
+                        "group_rep": ids,
+                        "keep": np.ones(len(ids), dtype=bool),
+                    }
+                )
+            ids2, reps, keep = dedup_cluster(ids, M, lid)
+            return pd.DataFrame(
+                {
+                    "vec_id": ids2,
+                    "list_id": np.full(len(ids2), lid, dtype=np.int64),
+                    "group_rep": reps,
+                    "keep": keep,
+                }
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lids = pdf["list_id"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            M = np.vstack(pdf["e"].to_numpy())
+            starts = np.flatnonzero(np.r_[True, lids[1:] != lids[:-1]])
+            ends = np.r_[starts[1:], len(lids)]
+            out = []
+            for s, e in zip(starts, ends):
+                lid = lids[s]
+                if carry_lid is not None and lid == carry_lid:
+                    carry_ids = np.concatenate([carry_ids, ids[s:e]])
+                    if not carry_over:
+                        carry_vs = np.vstack([carry_vs, M[s:e]])
+                        if len(carry_ids) > max_cluster:
+                            carry_over, carry_vs = True, None
+                else:
+                    if carry_lid is not None:
+                        out.append(
+                            emit(carry_lid, carry_ids, carry_vs, carry_over)
+                        )
+                    carry_lid, carry_ids = lid, ids[s:e]
+                    carry_over = (e - s) > max_cluster
+                    carry_vs = None if carry_over else M[s:e]
+            if out:
+                yield pd.concat(out, ignore_index=True)
+        if carry_lid is not None:
+            yield emit(carry_lid, carry_ids, carry_vs, carry_over)
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("list_id", LongType()),
+            StructField("group_rep", LongType()),
+            StructField("keep", BooleanType()),
+        ]
+    )
+    return (
+        assigned.select("vec_id", "list_id", "e")
+        .repartition("list_id")
+        .sortWithinPartitions("list_id", "vec_id")
+        .mapInPandas(scan, schema)
+    )
+
+
+def semantic_oversized_clusters(
+    assigned: DataFrame, max_cluster: int = SEM_MAX_CLUSTER
+) -> DataFrame:
+    """(list_id, n_vectors) for clusters semantic_dedup passed through
+    un-deduped — the no-silent-truncation report. `assigned` is
+    ivf_assign's output (or semantic_dedup's, which carries list_id)."""
+    return (
+        assigned.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .where(F.col("n_vectors") > max_cluster)
+        .orderBy(F.desc("n_vectors"), F.asc("list_id"))
+    )
