@@ -16,6 +16,8 @@ corpus-scale generalizations the brief's training-data layer asks for
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -607,3 +609,160 @@ SELECT wc.doc_id, CAST(max(t.n) AS BIGINT) AS n_tokens,
        round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
          AS entropy_nats
 FROM wc JOIN t USING (doc_id) GROUP BY wc.doc_id"""
+
+
+# ---- exact-substring dedup (Lee et al. 2022, arXiv:2107.06499) --------------
+# "Deduplicating Training Data Makes Language Models Better": any token
+# span of >= k tokens that occurs more than once in the corpus (across OR
+# within documents) keeps its globally FIRST occurrence and is cut
+# everywhere else. Differs from chunk_dedup above exactly the way the
+# paper motivates: C4-style fixed chunks miss duplicated passages that
+# straddle a chunk boundary or sit at a different alignment; overlapping
+# stride-1 windows catch every alignment. The reference implementation is
+# a suffix array; the Spark-first equivalent is rolling window hashes —
+# one 24-byte row per token position instead of a global suffix sort,
+# which is the same O(total tokens) blow-up the suffix array pays, but
+# shuffle-partitioned instead of memory-resident.
+#
+# Scale shape: ONE Arrow-batched pass computes all window hashes per doc
+# (O(tokens) via a prefix rolling hash, not O(tokens*k)); posexplode ->
+# ONE shuffle on the window hash with a map-side-combined groupBy
+# (min-occurrence + count — a boilerplate window repeated millions of
+# times stays one agg row); non-canonical occurrences join back on the
+# deduplicated agg (AQE skew-split handles mega-hot windows); one shuffle
+# on doc_id collects each doc's cut positions (bounded by the doc's own
+# token count); a final Arrow pass merges overlapping cut windows via
+# interval diff/cumsum in O(tokens) and reassembles the kept text.
+# Equality is under 64-bit rolling hashes over 64-bit token hashes: two
+# DISTINCT k-windows collide w.p. ~2^-64 (same contract class as the
+# MinHash shingle family) — the pytest contract verifies against a plain
+# dict-of-substrings reference.
+
+EXSUB_K = 32
+_EXSUB_B = np.uint64(0x9E3779B97F4A7C16 | 1)  # odd: invertible mod 2^64
+
+
+def window_hashes_pandas(k: int = EXSUB_K):
+    """text -> array<long> of rolling k-token window hashes (one per
+    start position; empty when the doc has < k tokens). Tokenization is
+    the repo-wide split-on-single-space convention (empties kept).
+    Prefix trick: with token hashes t and odd base B, s[i] = sum_{j<i}
+    t[j]*Binv^(j+1) (wrapping uint64 cumsum), and the window hash at pos
+    is Bpow[pos+k] * (s[pos+k] - s[pos]) — all mod-2^64 arithmetic is
+    numpy's natural uint64 wraparound, so the whole batch is vectorized
+    with a Python loop only over ROWS, never tokens."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    B = _EXSUB_B
+    Binv = pow(int(B), -1, 1 << 64)
+    Binv = np.uint64(Binv)
+
+    @pandas_udf(ArrayType(LongType()))
+    def wh(text: pd.Series) -> pd.Series:
+        if len(text) == 0:
+            return pd.Series([], dtype=object)
+        toks = [(t or "").split(" ") for t in text.to_numpy()]
+        flat = np.array([w for t in toks for w in t], dtype=object)
+        codes, uniq = pd.factorize(flat)
+        th = pd.util.hash_array(np.asarray(uniq, dtype=object))[codes]
+        out = []
+        off = 0
+        for t in toks:
+            n = len(t)
+            if n < k:
+                out.append([])
+                off += n
+                continue
+            tk = th[off : off + n]
+            off += n
+            ipow = np.empty(n + 1, dtype=np.uint64)
+            ipow[0] = np.uint64(1)
+            np.multiply.accumulate(np.full(n, Binv, dtype=np.uint64), out=ipow[1:])
+            s = np.zeros(n + 1, dtype=np.uint64)
+            np.cumsum(tk * ipow[1:], out=s[1:])
+            bpow = np.empty(n + 1, dtype=np.uint64)
+            bpow[0] = np.uint64(1)
+            np.multiply.accumulate(np.full(n, B, dtype=np.uint64), out=bpow[1:])
+            h = bpow[k:] * (s[k:] - s[:-k])
+            out.append(h.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return wh
+
+
+def _cut_and_reassemble_pandas(k: int):
+    """(text, sorted-or-null cut positions) -> (n_tokens, n_cut,
+    clean_md5): tokens covered by any duplicated window [pos, pos+k-1]
+    are removed; coverage is computed with an O(tokens) interval
+    diff/cumsum merge, never per-(token, position) scans."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_tokens long, n_cut long, clean_md5 string")
+    def cut(text: pd.Series, positions: pd.Series) -> pd.DataFrame:
+        n_tok, n_cut, md5s = [], [], []
+        for t, ps in zip(text.to_numpy(), positions.to_numpy()):
+            toks = (t or "").split(" ")
+            n = len(toks)
+            if ps is None or len(ps) == 0:
+                kept = toks
+                cut_n = 0
+            else:
+                diff = np.zeros(n + 1, dtype=np.int64)
+                starts = np.asarray(ps, dtype=np.int64)
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, np.minimum(starts + k, n), -1)
+                covered = np.cumsum(diff[:-1]) > 0
+                cut_n = int(covered.sum())
+                kept = [w for w, c in zip(toks, covered) if not c]
+            n_tok.append(n)
+            n_cut.append(cut_n)
+            md5s.append(hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {"n_tokens": n_tok, "n_cut": n_cut, "clean_md5": md5s}
+        )
+
+    return cut
+
+
+def exact_substring_dedup(docs: DataFrame, k: int = EXSUB_K) -> DataFrame:
+    """Per doc: (doc_id, n_tokens, n_cut, clean_md5) after cutting every
+    non-first occurrence of every duplicated >= k-token substring. The
+    canonical occurrence of a window is min (doc_id, pos) — the paper's
+    keep-one policy with a deterministic global order; a doc repeating a
+    passage internally keeps only its first copy (same rule, same code
+    path)."""
+    wh = docs.select(
+        "doc_id",
+        F.posexplode(window_hashes_pandas(k)(F.col("text"))).alias("pos", "wh"),
+    )
+    agg = wh.groupBy("wh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("canon"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dups = (
+        wh.join(agg.where(F.col("cnt") > 1), "wh")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("canon.doc_id"))
+                & (F.col("pos") == F.col("canon.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    cuts = dups.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("cut_pos")
+    )
+    stats = _cut_and_reassemble_pandas(k)
+    return (
+        docs.join(cuts, "doc_id", "left")
+        .withColumn("st", stats(F.col("text"), F.col("cut_pos")))
+        .select(
+            "doc_id",
+            F.col("st.n_tokens").alias("n_tokens"),
+            F.col("st.n_cut").alias("n_cut"),
+            F.col("st.clean_md5").alias("clean_md5"),
+        )
+    )
