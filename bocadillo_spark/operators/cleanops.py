@@ -642,21 +642,43 @@ EXSUB_K = 32
 _EXSUB_B = np.uint64(0x9E3779B97F4A7C16 | 1)  # odd: invertible mod 2^64
 
 
+_EXSUB_BINV = np.uint64(pow(int(_EXSUB_B), -1, 1 << 64))
+
+
+def _rolling_window_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Pure-numpy core, one document: uint64 token hashes -> uint64
+    rolling k-window polynomial hashes (H[pos] = sum_j t[pos+j] *
+    B^(k-1-j) mod 2^64), length max(n-k+1, 0). Prefix trick: with odd
+    base B, s[i] = sum_{j<i} t[j]*Binv^(j+1) (wrapping cumsum), and
+    H[pos] = Bpow[pos+k] * (s[pos+k] - s[pos]) — all mod-2^64 arithmetic
+    is numpy's natural uint64 wraparound, so cost is O(n) with no
+    per-token Python. Property-tested directly (hash equality ⟺ window
+    equality on dense-collision inputs) in
+    tests/test_exact_substring_dedup.py."""
+    n = len(token_hashes)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    ipow = np.empty(n + 1, dtype=np.uint64)
+    ipow[0] = np.uint64(1)
+    np.multiply.accumulate(np.full(n, _EXSUB_BINV, dtype=np.uint64), out=ipow[1:])
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(token_hashes * ipow[1:], out=s[1:])
+    bpow = np.empty(n + 1, dtype=np.uint64)
+    bpow[0] = np.uint64(1)
+    np.multiply.accumulate(np.full(n, _EXSUB_B, dtype=np.uint64), out=bpow[1:])
+    return bpow[k:] * (s[k:] - s[:-k])
+
+
 def window_hashes_pandas(k: int = EXSUB_K):
     """text -> array<long> of rolling k-token window hashes (one per
     start position; empty when the doc has < k tokens). Tokenization is
-    the repo-wide split-on-single-space convention (empties kept).
-    Prefix trick: with token hashes t and odd base B, s[i] = sum_{j<i}
-    t[j]*Binv^(j+1) (wrapping uint64 cumsum), and the window hash at pos
-    is Bpow[pos+k] * (s[pos+k] - s[pos]) — all mod-2^64 arithmetic is
-    numpy's natural uint64 wraparound, so the whole batch is vectorized
-    with a Python loop only over ROWS, never tokens."""
+    the repo-wide split-on-single-space convention (empties kept); token
+    hashing via pd.util.hash_array over the batch's factorized distinct
+    tokens (the _distinct_shingles recipe), then the _rolling_window_hashes
+    O(n) prefix kernel per row — a Python loop only over ROWS, never
+    tokens."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
-
-    B = _EXSUB_B
-    Binv = pow(int(B), -1, 1 << 64)
-    Binv = np.uint64(Binv)
 
     @pandas_udf(ArrayType(LongType()))
     def wh(text: pd.Series) -> pd.Series:
@@ -670,21 +692,8 @@ def window_hashes_pandas(k: int = EXSUB_K):
         off = 0
         for t in toks:
             n = len(t)
-            if n < k:
-                out.append([])
-                off += n
-                continue
-            tk = th[off : off + n]
+            h = _rolling_window_hashes(th[off : off + n], k)
             off += n
-            ipow = np.empty(n + 1, dtype=np.uint64)
-            ipow[0] = np.uint64(1)
-            np.multiply.accumulate(np.full(n, Binv, dtype=np.uint64), out=ipow[1:])
-            s = np.zeros(n + 1, dtype=np.uint64)
-            np.cumsum(tk * ipow[1:], out=s[1:])
-            bpow = np.empty(n + 1, dtype=np.uint64)
-            bpow[0] = np.uint64(1)
-            np.multiply.accumulate(np.full(n, B, dtype=np.uint64), out=bpow[1:])
-            h = bpow[k:] * (s[k:] - s[:-k])
             out.append(h.view(np.int64).tolist())
         return pd.Series(out)
 

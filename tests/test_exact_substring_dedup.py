@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pytest
 
 from bocadillo_spark.operators.cleanops import exact_substring_dedup
@@ -105,3 +106,77 @@ def test_deterministic_across_runs(spark, fixture_df):
     r1 = sorted(map(tuple, exact_substring_dedup(df, k=K).collect()))
     r2 = sorted(map(tuple, exact_substring_dedup(df, k=K).collect()))
     assert r1 == r2
+
+
+# ---- rolling-hash kernel properties (no Spark) ------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bocadillo_spark.operators.cleanops import _rolling_window_hashes
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=60),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_kernel_hash_equality_iff_window_equality(toks, k):
+    """Alphabet of 4 token values forces dense window repeats: the hash
+    must merge exactly the equal windows (no false splits), and on these
+    inputs — tiny equality classes vs 2^64 — never merge distinct ones
+    (a false merge here would be an arithmetic bug, not bad luck)."""
+    rng = np.random.RandomState(13)
+    vocab = rng.randint(1, 1 << 63, size=4, dtype=np.uint64)
+    th = vocab[np.asarray(toks, dtype=np.int64)] if toks else np.empty(0, np.uint64)
+    h = _rolling_window_hashes(th, k)
+    n = len(toks)
+    assert len(h) == max(n - k + 1, 0)
+    windows = [tuple(toks[i : i + k]) for i in range(max(n - k + 1, 0))]
+    by_window = {}
+    for i, w in enumerate(windows):
+        by_window.setdefault(w, set()).add(int(h[i]))
+    # equal windows -> equal hash (exact, not probabilistic)
+    for w, hs in by_window.items():
+        assert len(hs) == 1, (w, hs)
+    # distinct windows -> distinct hash on this input space
+    firsts = {next(iter(hs)) for hs in by_window.values()}
+    assert len(firsts) == len(by_window)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    prefix=st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=20),
+    window=st.lists(st.integers(min_value=0, max_value=9), min_size=4, max_size=4),
+    gap=st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=20),
+)
+def test_kernel_position_independence(prefix, window, gap):
+    """The same window at two different offsets hashes identically — the
+    property the whole keep-first grouping rests on."""
+    toks = prefix + window + gap + window
+    rng = np.random.RandomState(13)
+    vocab = rng.randint(1, 1 << 63, size=10, dtype=np.uint64)
+    th = vocab[np.asarray(toks, dtype=np.int64)]
+    h = _rolling_window_hashes(th, 4)
+    p1 = len(prefix)
+    p2 = len(prefix) + 4 + len(gap)
+    assert h[p1] == h[p2]
+
+
+def test_dense_collision_corpus_matches_reference(spark):
+    """Adversarial Spark fixture: 12 docs over a 3-word vocabulary at
+    k=4 — nearly every window is duplicated many times across docs, so
+    canonical selection, hot-window aggregation, and span merging are
+    all stressed at once. Row-for-row against the dict reference."""
+    rng = np.random.RandomState(29)
+    vocab = ["aa", "bb", "cc"]
+    texts = {
+        d: " ".join(vocab[i] for i in rng.randint(0, 3, size=30))
+        for d in range(12)
+    }
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_cut"], r["clean_md5"])
+        for r in exact_substring_dedup(df, k=4).collect()
+    }
+    assert got == _reference(texts, 4)
