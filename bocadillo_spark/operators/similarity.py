@@ -808,6 +808,7 @@ def semantic_dedup(
     eps: float = 0.04,
     max_cluster: int = SEM_MAX_CLUSTER,
     centroids: DataFrame | None = None,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """(vec_id, e) -> (vec_id, list_id, group_rep, keep).
 
@@ -822,7 +823,13 @@ def semantic_dedup(
     Deterministic end to end: seed-pinned k-means (or caller-supplied
     centroids), first-min argmin assignment, exact float64 in-cluster
     matmul, order-independent union-find (edges applied from a sorted
-    pair list)."""
+    pair list).
+
+    train_fraction < 1.0 fits the quantizer on a seed-pinned SAMPLE and
+    assigns the full corpus — the at-scale pattern (write_ivf_index does
+    the same): centroid quality needs a representative sample, not the
+    corpus; at 100 TB you train on ~1e6 rows and run one assignment
+    pass over everything."""
     from pyspark.sql.types import (
         BooleanType,
         LongType,
@@ -831,7 +838,10 @@ def semantic_dedup(
     )
 
     if centroids is None:
-        centroids = kmeans_centroids(vecs, n_clusters=n_clusters)
+        train = (
+            vecs.sample(train_fraction, seed=7) if train_fraction < 1.0 else vecs
+        )
+        centroids = kmeans_centroids(train, n_clusters=n_clusters)
     if centroids is None:  # pyspark.ml unavailable: stride fallback
         centroids = vecs.where(F.col("vec_id") % 25 == 0).select(
             F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
