@@ -292,6 +292,11 @@ SERIES_BOUNDS = {
     # same series name) and must not enter the median in either direction.
     "minhash_pairs": {"small_max": 80.0, "big_max": 24.0, "small_min": 30.0},
     "gopher_pairs": {"small_max": 45.0, "big_max": 15.0},
+    # v2: the x6 corpus under the round-5 wrap-free word-suffix replica
+    # map (v1 ran on the earlier caesar-replica corpus — versioned-series
+    # convention). Healthy-mode walls from the seeding triple: small
+    # 30-33 s, big 8.3-9.0 s; bounds ~1.5x as elsewhere.
+    "gopher_pairs_v2": {"small_max": 50.0, "big_max": 13.5},
     "embedding_pairs": {"small_max": 60.0, "big_max": 15.0},
 }
 
@@ -319,7 +324,7 @@ _SUMMARY_SERIES = [
     ("pairs", "pipeline"),
     ("minhash_pairs", "minhash"),
     ("embedding_pairs", "embedding"),
-    ("gopher_pairs", "gopher"),
+    ("gopher_pairs_v2", "gopher"),
 ]
 
 
