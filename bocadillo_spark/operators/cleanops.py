@@ -743,9 +743,21 @@ def exact_substring_dedup(docs: DataFrame, k: int = EXSUB_K) -> DataFrame:
     keep-one policy with a deterministic global order; a doc repeating a
     passage internally keeps only its first copy (same rule, same code
     path)."""
-    wh = docs.select(
-        "doc_id",
-        F.posexplode(window_hashes_pandas(k)(F.col("text"))).alias("pos", "wh"),
+    from ..operators.dedup import persist_evicting
+
+    # persisted: the exploded window frame feeds BOTH the duplicate-
+    # detection agg and the join's probe side — without persistence the
+    # plan re-executes the window-hash kernel (the operator's most
+    # expensive stage) once per consumer (verified in the executed plan:
+    # two ArrowEvalPython[wh(text)] nodes). Same pattern as
+    # dedup.py's persisted minhash bands.
+    wh = persist_evicting(
+        docs.select(
+            "doc_id",
+            F.posexplode(window_hashes_pandas(k)(F.col("text"))).alias(
+                "pos", "wh"
+            ),
+        )
     )
     agg = wh.groupBy("wh").agg(
         F.min(F.struct("doc_id", "pos")).alias("canon"),
