@@ -93,7 +93,16 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
     )
     # 3) decontaminate: drop gated docs sharing any eval 8-gram
     contaminated = decontaminate(docs).select("doc_id")
-    surv = gated.join(contaminated, "doc_id", "left_anti")
+    # persisted: the survivor frame feeds the two DSIR model passes, the
+    # per-doc scoring pass, AND the final join (plus the export's
+    # token-sum + write actions downstream) — without persistence the
+    # whole upstream (md5-dedup shuffle, quality gate, 8-gram
+    # decontamination) re-executes once per consumer. Survivors are the
+    # natural persist point at scale too: far smaller than the raw
+    # corpus, reused by every later stage of a nightly run.
+    from ..operators.dedup import persist_evicting
+
+    surv = persist_evicting(gated.join(contaminated, "doc_id", "left_anti"))
     # 4) DSIR resample over the survivors
     sampled = dsir_doc_scores(surv).where("sampled").select("doc_id")
     return surv.join(sampled, "doc_id")
