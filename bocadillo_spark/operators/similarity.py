@@ -639,12 +639,14 @@ def ivf_topk(
         centroids = e.where(F.col("vec_id") % centroid_mod == 0).select(
             F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
         )
-    assigned = ivf_assign(e, centroids)
-
-    q = assigned.where(F.col("vec_id") < n_queries).select(
+    # queries never use a list_id (they probe via the centroid crossJoin
+    # below), so only the CANDIDATE side runs the assignment kernel —
+    # assigning the combined frame and filtering it twice re-executed the
+    # corpus-wide matmul pass once per consumer (plan-audit find)
+    q = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
     )
-    c = assigned.where(F.col("vec_id") >= n_queries).select(
+    c = ivf_assign(e.where(F.col("vec_id") >= n_queries), centroids).select(
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "list_id"
     )
     # nprobe nearest centroid lists per query
