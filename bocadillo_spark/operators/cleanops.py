@@ -819,11 +819,17 @@ BIGRAM_LAMBDA = 0.7  # shared with the SQL twin; 7/10 exact in binary? no —
 
 def _pair_col():
     """(prev, word) structs per document: word array zipped with its
-    1-shifted self; the first token pairs with NULL (scores unigram-only)."""
+    1-shifted self; the first token pairs with NULL (scores unigram-only).
+    Token-free docs (empty/NULL text) yield an empty array — guarded
+    explicitly because slice() rejects the n-1 = -1 length they'd
+    otherwise produce, and arrays_zip would pad a bogus (NULL, NULL)
+    token row."""
     ws = _words_col()
     n = F.size(ws)
     prev = F.concat(F.array(F.lit(None).cast("string")), F.slice(ws, 1, n - 1))
-    return F.arrays_zip(prev.alias("prev"), ws.alias("word"))
+    return F.when(n > 0, F.arrays_zip(prev.alias("prev"), ws.alias("word"))).otherwise(
+        F.array().cast("array<struct<prev:string,word:string>>")
+    )
 
 
 def bigram_logprob(docs: DataFrame, lam: float = BIGRAM_LAMBDA) -> DataFrame:

@@ -109,3 +109,14 @@ def test_deterministic_across_runs(spark, fixture_df):
     r1 = sorted(map(tuple, bigram_logprob(df).collect()))
     r2 = sorted(map(tuple, bigram_logprob(df).collect()))
     assert r1 == r2
+
+
+def test_token_free_docs_are_absent_not_crashing(spark):
+    """Empty and NULL text yield no output row (the unigram_logprob
+    convention) — regression for the slice(ws, 1, -1) crash the empty
+    word array used to trigger."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in bigram_logprob(df).collect()}
+    assert got == {1: 3}
