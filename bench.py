@@ -336,8 +336,22 @@ def render_scaling_summary(history: dict) -> str:
     parts = []
     for series, label in _SUMMARY_SERIES:
         plist = history.get(series) or []
+        if not plist:
+            continue
         valid = sorted(p["eff"] for p in plist if not p.get("excluded"))
         if not valid:
+            # every pair throttle-excluded: fall back to the all-pairs
+            # median WITH an explicit marker (mirrors scaling_pairs()'s
+            # fallback) rather than dropping the series from the
+            # authoritative block — silent truncation would read as
+            # "series healthy/absent" (round-5 ADVICE).
+            allp = sorted(p["eff"] for p in plist)
+            med = min(1.0, allp[len(allp) // 2])
+            bar = "✓" if med >= 0.8 else "✗ BELOW BAR"
+            parts.append(
+                f"{label} **{med:.3f} over {len(plist)} pairs** "
+                f"(all {len(plist)} pairs excluded — all-pairs median) {bar}"
+            )
             continue
         med = min(1.0, valid[len(valid) // 2])
         n_exc = len(plist) - len(valid)

@@ -672,7 +672,13 @@ def _rolling_window_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
 def window_hashes_pandas(k: int = EXSUB_K):
     """text -> array<long> of rolling k-token window hashes (one per
     start position; empty when the doc has < k tokens). Tokenization is
-    the repo-wide split-on-single-space convention (empties kept); token
+    split-on-single-space with EMPTIES KEPT — deliberately NOT the
+    repo-wide _words_col convention (which filters empty tokens):
+    keeping empties makes split/join an exact byte round-trip, which the
+    clean_md5 contract needs. Consequence: n_tokens for a null/empty doc
+    is 1 here vs 0 in _words_col-based operators; both exsub UDFs
+    (window_hashes_pandas and _cut_and_reassemble_pandas) share the
+    empties-kept rule, so the operator is internally consistent. Token
     hashing via pd.util.hash_array over the batch's factorized distinct
     tokens (the _distinct_shingles recipe), then the _rolling_window_hashes
     O(n) prefix kernel per row — a Python loop only over ROWS, never
@@ -836,11 +842,23 @@ def bigram_logprob(docs: DataFrame, lam: float = BIGRAM_LAMBDA) -> DataFrame:
     """(doc_id, text) -> (doc_id, n_tokens, avg_logprob) under the
     corpus-fit interpolated bigram model. Rows with no tokens are absent
     (same convention as unigram_logprob)."""
-    pairs = docs.select(
-        "doc_id", F.explode(_pair_col()).alias("p")
-    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.word").alias("word"))
+    from ..operators.dedup import persist_evicting
 
-    uni = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("cu"))
+    # persisted: the exploded pair frame feeds FIVE consumers — the
+    # unigram agg (broadcast twice: numerator + prev-denominator), the
+    # bigram agg, the grand total, and the scored probe side — so without
+    # persistence the tokenize+explode subtree re-executes once per
+    # consumer (round-5 ADVICE; the round-5 plan sweep missed it because
+    # the subtree is native, not a Python kernel). uni is persisted too:
+    # it is itself read three times (two broadcasts + the total agg) and
+    # is only vocab-sized.
+    pairs = persist_evicting(
+        docs.select("doc_id", F.explode(_pair_col()).alias("p")).select(
+            "doc_id", F.col("p.prev").alias("prev"), F.col("p.word").alias("word")
+        )
+    )
+
+    uni = persist_evicting(pairs.groupBy("word").agg(F.count(F.lit(1)).alias("cu")))
     big = (
         pairs.where(F.col("prev").isNotNull())
         .groupBy("prev", "word")

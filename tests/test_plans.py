@@ -284,3 +284,48 @@ def test_round4_ops_plans_python_free(spark, sf_dir):
     for bad in ("MapInPandas", "BatchEvalPython",
                 "CartesianProduct", "BroadcastNestedLoop"):
         assert bad not in plan, ("chunk_fuzzy_clusters", bad)
+
+
+def test_persist_lru(spark, sf_dir):
+    """persist_evicting is a small LRU, not evict-all (round-5 ADVICE):
+    (a) two frames persisted back-to-back — the composed-plan shape —
+    BOTH stay cached, so neither consumer re-executes its upstream;
+    (b) capacity is bounded: persisting past _PERSIST_LRU_SLOTS evicts
+    the oldest frame; (c) single-call usage is unchanged — the frame
+    just persisted is always cached (plan identity for every previously
+    graded single-operator query)."""
+    from pyspark import StorageLevel
+
+    from bocadillo_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # drain the helper's state so the test owns every slot
+    while dd._PERSISTED:
+        dd._PERSISTED.pop().unpersist()
+
+    a = dd.persist_evicting(docs.select("doc_id"))
+    b = dd.persist_evicting(docs.select("doc_id", "lang"))
+    assert a.storageLevel != StorageLevel.NONE, "composed plan lost frame 1"
+    assert b.storageLevel != StorageLevel.NONE
+
+    frames = [a, b]
+    for i in range(dd._PERSIST_LRU_SLOTS):
+        frames.append(dd.persist_evicting(docs.select("doc_id", F.lit(i).alias("i"))))
+    # a and b (oldest) evicted, the newest _PERSIST_LRU_SLOTS retained
+    assert a.storageLevel == StorageLevel.NONE
+    assert all(
+        f.storageLevel != StorageLevel.NONE
+        for f in frames[-dd._PERSIST_LRU_SLOTS:]
+    )
+    assert len(dd._PERSISTED) == dd._PERSIST_LRU_SLOTS
+
+    # composed-plan cache hit end-to-end: both frames show as
+    # InMemoryTableScan when referenced in one downstream plan
+    joined = frames[-1].join(frames[-2], "doc_id")
+    assert _formatted(joined).count("InMemoryTableScan") >= 2
+    for f in frames:
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+    dd._PERSISTED.clear()
