@@ -910,3 +910,86 @@ LEFT JOIN v vp ON vp.word = w.prev
 LEFT JOIN vb ON vb.prev = w.prev AND vb.word = w.word
 CROSS JOIN t
 GROUP BY doc_id"""
+
+
+# ---- graded exsub fixture + DuckDB twin -------------------------------------
+# The driver tables have no natural >= EXSUB_K-token shared substrings, so
+# the graded query plants one: a deterministic 40-token passage appended to
+# every doc_id % 5 == 3 document (and TWICE to the doc_id % 15 == 3 subset,
+# exercising the internal-repeat path — the same keep-first rule cuts the
+# second in-document copy). Both engines build the augmented corpus from
+# the same shared constants (FIXTURES.md recipe: the operator is graded
+# against spans it did not construct).
+
+EXSUB_PASSAGE = " ".join(f"exsubtok{i}" for i in range(40))
+EXSUB_PLANT_MOD, EXSUB_PLANT_REM = 5, 3
+EXSUB_TWICE_MOD = 15
+
+
+def augment_with_shared_passages(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> (doc_id, text) with the shared passage
+    planted; native CASE only, order matters (%15 is a subset of %5)."""
+    p = F.lit(" " + EXSUB_PASSAGE)
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % EXSUB_TWICE_MOD == EXSUB_PLANT_REM,
+            F.concat(F.col("text"), p, p),
+        )
+        .when(
+            F.col("doc_id") % EXSUB_PLANT_MOD == EXSUB_PLANT_REM,
+            F.concat(F.col("text"), p),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def exsub_oracle_sql(table: str = "documents", k: int = EXSUB_K) -> str:
+    """DuckDB twin of exact_substring_dedup over the planted corpus.
+
+    The twin compares window STRINGS where the Spark kernel compares
+    64-bit rolling hashes — equal results follow because the hash is a
+    deterministic function of the token sequence (same string -> same
+    hash) and a cross-string collision over the fixture's ~40k windows
+    has probability ~2^-64 * n^2 ~ 1e-10 (same argument as
+    chunk_dedup_oracle_sql). Tokenization is split-on-' ' with EMPTIES
+    KEPT, matching both exsub UDFs; the canonical occurrence of a
+    duplicated window is min (doc_id, pos) via row_number, and coverage
+    is the union of [pos, pos+k-1] over non-canonical occurrences."""
+    p = EXSUB_PASSAGE
+    return f"""WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {EXSUB_TWICE_MOD} = {EXSUB_PLANT_REM}
+                THEN text || ' {p}' || ' {p}'
+              WHEN doc_id % {EXSUB_PLANT_MOD} = {EXSUB_PLANT_REM}
+                THEN text || ' {p}'
+              ELSE text END AS text
+  FROM {table}),
+toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts FROM base),
+wins AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(ts) - {k - 1}, 0))) AS pos,
+         unnest(list_transform(range(0, greatest(len(ts) - {k - 1}, 0)),
+                p -> array_to_string(ts[p + 1 : p + {k}], ' '))) AS w
+  FROM toks),
+rk AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY w) AS cnt,
+         row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+  FROM wins),
+cover AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS ti
+  FROM rk WHERE cnt > 1 AND rn > 1),
+tokpos AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS ti
+  FROM toks)
+SELECT tp.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(c.ti) AS BIGINT) AS n_cut,
+       md5(coalesce(string_agg(tp.tok, ' ' ORDER BY tp.ti)
+             FILTER (WHERE c.ti IS NULL), '')) AS clean_md5
+FROM tokpos tp
+LEFT JOIN cover c ON c.doc_id = tp.doc_id AND c.ti = tp.ti
+GROUP BY tp.doc_id"""

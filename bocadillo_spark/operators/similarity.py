@@ -992,3 +992,62 @@ def semantic_oversized_clusters(
         .where(F.col("n_vectors") > max_cluster)
         .orderBy(F.desc("n_vectors"), F.asc("list_id"))
     )
+
+
+def semantic_oracle_sql(table: str = "embeddings", eps: float = 0.04) -> str:
+    """DuckDB twin of the graded semantic_dedup query: same planted
+    variants as dedup_embedding (vec_id + 10000, e*1.01 + 0.001), same
+    deterministic stride centroids (vec_id % 25 == 0 of the ORIGINAL
+    table — never the augmented one, or each centroid would have a
+    near-parallel variant twin and the argmin would sit on a knife edge),
+    same assignment score (argmin ||c||^2/2 - x.c, ties to lowest
+    centroid_id), same in-cluster cosine graph at threshold 1.0 - eps
+    (written as the expression, not the decimal literal, so both engines
+    evaluate the identical float64), connected components via recursive
+    min-label propagation (= the kernel's union-find toward the smaller
+    index over ascending vec_ids), and SemDeDup's keep rule: per
+    (list_id, group_rep) the row with MIN round(centroid-cosine, 12),
+    ties to min vec_id. Exactness argument is dedup_embedding's: both
+    engines do float64 arithmetic from identical inputs; comparison
+    boundaries (argmin margins, the 0.96 threshold, the round-12 keep
+    order) sit far from ULP distance for this corpus."""
+    thr = f"1.0 - {eps}"
+    return f"""WITH RECURSIVE aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01 + 0.001)
+  FROM {table} WHERE vec_id % 10 = 0),
+cent AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+  FROM {table} WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT a.vec_id, a.e, c.centroid_id, c.ce,
+         0.5 * list_dot_product(c.ce, c.ce) - list_dot_product(a.e, c.ce)
+           AS score
+  FROM aug a CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, e, centroid_id AS list_id, ce
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY score ASC, centroid_id ASC) AS rn
+        FROM scored)
+  WHERE rn = 1),
+edges AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= {thr}),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+reach(vec_id, lbl) AS (
+  SELECT vec_id, vec_id FROM assigned
+  UNION
+  SELECT s.u, r.lbl FROM reach r JOIN sym s ON s.v = r.vec_id),
+lab AS (SELECT vec_id, min(lbl) AS group_rep FROM reach GROUP BY vec_id),
+simc AS (
+  SELECT a.vec_id, a.list_id, l.group_rep,
+         round(list_cosine_similarity(a.e, a.ce), 12) AS sim_c
+  FROM assigned a JOIN lab l USING (vec_id))
+SELECT vec_id, list_id, group_rep,
+       (row_number() OVER (PARTITION BY list_id, group_rep
+                           ORDER BY sim_c ASC, vec_id ASC) = 1) AS keep
+FROM simc"""

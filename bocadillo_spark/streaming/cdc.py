@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.parse import parse_events, with_attrs, with_host
-from ..plans.merge import merge_upsert
+from ..plans.merge import maybe_compact, merge_upsert
 from ..sources.pages import stream_pages
 
 
@@ -85,6 +85,17 @@ def start_cdc_stream(
                 batch_df.sparkSession, table_dir, upd, ["doc_id"],
                 batch_id=int(batch_id), mor=mor,
             )
+        if mor:
+            # per-commit maintenance (round-5 verdict item): a long-running
+            # MOR stream otherwise accumulates delta chains until someone
+            # runs compaction by hand. maybe_compact is a cheap metadata
+            # check that rewrites only when a bucket's chain exceeds
+            # MAX_DELTA_CHAIN; compaction commits are data-identical and
+            # epoch-independent, so replaying an epoch after a crash
+            # between compact and checkpoint stays exactly-once (the merge
+            # itself is the committed-batch no-op, and a re-run compact on
+            # an already-short chain is a no-op too).
+            maybe_compact(batch_df.sparkSession, table_dir)
 
     return (
         pages.writeStream.foreachBatch(process_batch)

@@ -122,6 +122,61 @@ def test_cdc_stream_resume_exactly_once(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_streaming_mor_cdc_compacts_per_commit(spark, sf_dir, tmp_path):
+    """The MOR compaction policy runs INSIDE the streaming CDC sink
+    (round-5 verdict item 5): under N micro-batches the per-bucket delta
+    chain stays bounded by MAX_DELTA_CHAIN + 1 at every committed version
+    (a long-running stream must never accumulate unbounded chains waiting
+    for hand-run maintenance), at least one compact commit appears in the
+    table history, and the final state still equals the batch-computed
+    latest-update oracle (compaction is data-identical)."""
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.parse import parse_events, with_attrs, with_host
+    from bocadillo_spark.plans.merge import (
+        MAX_DELTA_CHAIN,
+        _load_meta,
+        delta_chain_length,
+    )
+    from bocadillo_spark.streaming.cdc import run_cdc_stream_to_completion
+    from bocadillo_spark.synth import write_pages
+
+    pages_dir = write_pages(spark, sf_dir, str(tmp_path / "pages"), num_partitions=16)
+    table, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    run_cdc_stream_to_completion(
+        spark, pages_dir, table, ckpt, max_files_per_trigger=1, mor=True
+    )
+
+    nv = current_version(table)
+    metas = [(_load_meta(table, v) or {}) for v in range(1, nv + 1)]
+    assert "compact" in [m.get("operation") for m in metas], (
+        "stream never compacted — maintenance not wired into foreachBatch"
+    )
+    for v, m in enumerate(metas, start=1):
+        chain = delta_chain_length(m)
+        assert chain <= MAX_DELTA_CHAIN + 1, f"v{v} chain {chain} escaped policy"
+
+    got = {
+        (r["doc_id"], r["seq"], r["new_img"])
+        for r in read_table(spark, table).select("doc_id", "seq", "new_img").collect()
+    }
+    ev = with_attrs(
+        parse_events(with_host(spark.read.parquet(pages_dir)))
+    ).where(F.col("event_type") == "update")
+    want = {
+        (r["doc_id"], r["seq"], r["new_img"])
+        for r in ev.select(
+            F.col("attrs")["k1"].cast("long").alias("doc_id"),
+            F.col("seq").cast("long").alias("seq"),
+            F.col("attrs")["new"].cast("long").alias("new_img"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("seq").alias("seq"), F.max_by("new_img", "seq").alias("new_img"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_crash_between_metadata_and_pointer_replays(spark, tmp_path):
     """Metadata json lands BEFORE the pointer swap; a crash in between must
     NOT make the replayed batch look committed — it re-applies and
