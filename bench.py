@@ -205,7 +205,19 @@ def run_embedding_once(spark, input_path: str, corpus_count: int) -> float:
     n = embedding_near_dup_pairs(vecs, corpus_count=corpus_count).count()
     dt = time.time() - t0
     assert n > 0
+    _drain_persists()
     return dt
+
+
+def _drain_persists() -> None:
+    """Post-run, outside the timed region: with persist_evicting's 4-slot
+    LRU (round-6), back-to-back timed runs would otherwise hold several
+    corpus-scale frames at once — draining after each run keeps the
+    memory profile of the persisted scaling series identical to the
+    pre-LRU rounds."""
+    from bocadillo_spark.operators.dedup import persist_drain
+
+    persist_drain()
 
 
 def run_minhash_once(spark, sf_dir: str, input_path: str | None = None) -> float:
@@ -221,6 +233,74 @@ def run_minhash_once(spark, sf_dir: str, input_path: str | None = None) -> float
     n = D.minhash_dedup_pairs(docs, threshold=0.8).count()
     dt = time.time() - t0
     assert n > 0
+    _drain_persists()
+    return dt
+
+
+EXSUB_INPUT_FILES = 16
+EXSUB_SCALING_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXSUB_REPLICAS", "24"))
+
+
+def exsub_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
+    """Materialize the exact-substring corpus (documents + the planted
+    shared passages of the graded query) as multi-file parquet, replica-
+    scaled with the same wrap-free word-suffix map as the minhash corpus:
+    suffixing every word with a replica-unique tag preserves window
+    equality WITHIN a replica exactly (the duplicate-window structure,
+    cut counts, coverage) while no k-token window is ever shared across
+    replicas — parallel work scales linearly, candidates do not blow up.
+    The plant happens BEFORE the suffix map so passage windows are
+    per-replica duplicates. Written once, outside every timed region."""
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.cleanops import augment_with_shared_passages
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"{BENCH_DIR}/exsub_docs_{tag}_f{EXSUB_INPUT_FILES}_r{replicas}_w"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        aug = augment_with_shared_passages(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+        parts = [
+            aug.select(
+                (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                        lambda w: F.concat(w, F.lit(f"_{r}")),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+            for r in range(replicas)
+        ]
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionByName(p)
+        corpus.repartition(EXSUB_INPUT_FILES).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_exsub_once(spark, input_path: str) -> float:
+    """One timed exact-substring dedup run on a FRESH plan: rolling-hash
+    window kernel -> duplicate-window agg -> coverage cut -> md5
+    reassembly. The final agg forces every stage including the
+    reassembly kernel (a bare count() could legally skip the md5 path
+    via join elimination; the sum/max aggregate cannot)."""
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.cleanops import exact_substring_dedup
+
+    docs = spark.read.parquet(input_path)
+    t0 = time.time()
+    row = (
+        exact_substring_dedup(docs)
+        .agg(F.sum("n_cut").alias("cut"), F.max("clean_md5").alias("m"))
+        .collect()[0]
+    )
+    dt = time.time() - t0
+    assert row["cut"] and row["cut"] > 0
+    _drain_persists()
     return dt
 
 
@@ -325,6 +405,7 @@ _SUMMARY_SERIES = [
     ("minhash_pairs", "minhash"),
     ("embedding_pairs", "embedding"),
     ("gopher_pairs_v2", "gopher"),
+    ("exsub_pairs", "exsub"),
 ]
 
 
@@ -538,6 +619,9 @@ def main() -> None:
             spark, sf_dir, replicas=EMBEDDING_SCALING_REPLICAS
         )
         emb_n = spark.read.parquet(emb_scaling_path).count()
+        exsub_scaling_path = exsub_input_path(
+            spark, sf_dir, replicas=EXSUB_SCALING_REPLICAS
+        )
     spark.stop()
 
     # ORDER matters under the burst-credit regime: the whole scaling
@@ -595,6 +679,24 @@ def main() -> None:
                 "corpus_count (passed from metadata, outside the timed "
                 "region), autoBroadcastJoinThreshold=-1 (the pinned "
                 "100-TB join policy), warmups=1, fresh plans"
+            ),
+            pairs=1,
+            extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+        )
+        scaling_results["scaling_exsub"] = scaling_pairs(
+            lambda s, p=exsub_scaling_path: run_exsub_once(s, p),
+            series="exsub_pairs",
+            protocol=(
+                "exact_substring_dedup local[1] vs local[4], sf0.1 "
+                "documents + planted shared passages "
+                f"x{EXSUB_SCALING_REPLICAS} word-suffix-disjoint replicas "
+                f"({EXSUB_SCALING_REPLICAS * 5000} docs, 16-file parquet), "
+                "rolling-hash window kernel (k=32) -> duplicate-window agg "
+                "-> coverage cut -> md5 reassembly, forced by a sum/max "
+                "aggregate (count() could skip the md5 path), "
+                "autoBroadcastJoinThreshold=-1 (the pinned 100-TB join "
+                "policy: the window frame's self-join never broadcasts at "
+                "scale), warmups=1, fresh plans"
             ),
             pairs=1,
             extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},

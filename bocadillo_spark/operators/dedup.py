@@ -62,6 +62,19 @@ def persist_evicting(df: DataFrame) -> DataFrame:
     _PERSISTED.append(df.persist())
     return df
 
+
+def persist_drain() -> None:
+    """Unpersist everything persist_evicting currently holds. Benchmark
+    hygiene: bench.py's timed loops call this AFTER each timed run so
+    back-to-back runs of a persisting operator hold at most one
+    corpus-scale frame at a time (the pre-LRU memory profile), keeping
+    the persisted scaling series like-for-like across the LRU change."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
 # ---- native MinHash constants (seeded like the hashing.py kernel) ----------
 P31 = (1 << 31) - 1
 N_PERM = 64

@@ -598,7 +598,20 @@ def ivf_assign(
         scores = half_sq - M @ C.T
         return pd.Series(c_ids[np.argmin(scores, axis=1)])
 
-    return emb.select("vec_id", "e", nearest(F.col("e")).alias("list_id"))
+    # asNondeterministic is an OPTIMIZATION FENCE, not a semantic claim —
+    # the kernel is pure (fixed centroid matrix, first-min argmin).
+    # Without it CollapseProject inlines the UDF into downstream
+    # projections and re-extracts it per projection level: the executed
+    # plan stacked TWO ArrowEvalPython[nearest] nodes over the same rows,
+    # the inner result discarded — a 2x assignment-kernel cost on the
+    # corpus-wide pass (round-6 plan-audit find, visible in ivf_topk and
+    # any caller that re-aliases the assigned columns). Marking the UDF
+    # nondeterministic stops the inlining; one node survives, and no
+    # filter/pushdown is lost (the only filters sit below the assignment
+    # by construction).
+    return emb.select(
+        "vec_id", "e", nearest.asNondeterministic()(F.col("e")).alias("list_id")
+    )
 
 
 def kmeans_centroids(e: DataFrame, n_clusters: int = 20, seed: int = 7) -> DataFrame | None:
