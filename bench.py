@@ -238,7 +238,13 @@ def run_minhash_once(spark, sf_dir: str, input_path: str | None = None) -> float
 
 
 EXSUB_INPUT_FILES = 16
-EXSUB_SCALING_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXSUB_REPLICAS", "24"))
+#   Corpus sizing (the minhash protocol's Amdahl rule — p/4 >> c):
+#   x24 (120k docs) phase-profiled 2026-08-18: t1 16.6 / t4 6.1 -> eff
+#   0.68; solve c = (4*t4 - t1)/3 = 2.6 s fixed, p = 14 s. x48 predicted
+#   ~0.79 and measured 0.788/0.72 healthy (+1 drained pair) — marginal
+#   by construction, archived as exsub_pairs_x48_sizing. x96 (480k docs,
+#   p ~= 56 s) predicts ~0.89 and is the pinned series.
+EXSUB_SCALING_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXSUB_REPLICAS", "96"))
 
 
 def exsub_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
@@ -371,6 +377,12 @@ SERIES_BOUNDS = {
     # smaller SPARK_GRAFT_SF_DIR materializes a different corpus under the
     # same series name) and must not enter the median in either direction.
     "minhash_pairs": {"small_max": 80.0, "big_max": 24.0, "small_min": 30.0},
+    # exsub x96 protocol (round 6): the 3 seeded pairs measured 56-64 s
+    # small / 14.3-18.5 s big (effs 0.872/0.81/1.045, probe_mops 34-37),
+    # bounds ~1.5x healthy mode; small_min is the protocol-identity floor
+    # (the archived x48 sizing corpus measured ~28-33 s small — a sub-35 s
+    # small wall means the run isn't on the pinned x96 corpus).
+    "exsub_pairs": {"small_max": 95.0, "big_max": 27.0, "small_min": 35.0},
     "gopher_pairs": {"small_max": 45.0, "big_max": 15.0},
     # v2: the x6 corpus under the round-5 wrap-free word-suffix replica
     # map (v1 ran on the earlier caesar-replica corpus — versioned-series

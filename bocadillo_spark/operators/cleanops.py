@@ -886,7 +886,8 @@ def bigram_logprob(docs: DataFrame, lam: float = BIGRAM_LAMBDA) -> DataFrame:
 
 def bigram_oracle_sql(table: str = "documents", lam: float = BIGRAM_LAMBDA) -> str:
     """DuckDB twin of bigram_logprob (same tokenization, same model, same
-    interpolation) — ready for a graded slot in a later round's window."""
+    interpolation) — the graded oracle behind the bigram_logprob registry
+    entry (round 6)."""
     return f"""WITH w AS (
   SELECT doc_id, word, pos,
          lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev

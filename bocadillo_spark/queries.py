@@ -968,6 +968,7 @@ def q_distinct_counts(spark, sf_dir):
 
 
 @query(
+    "top_parts_by_size",
     """SELECT p_brand, p_partkey, p_size, rnk FROM (
          SELECT p_brand, p_partkey, p_size,
                 rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) AS rnk

@@ -52,6 +52,22 @@ def test_every_query_has_callable():
         assert name in qs
 
 
+def test_registry_names_are_identifiers():
+    """Guard against a mis-registration class found in round 6: dropping
+    the name argument from a @query decorator silently makes the SQL
+    string the registry key, which demotes the query to rows-only (the
+    oracle key no longer matches) without failing anything. Every
+    registry key must be a plain identifier, and — since every current
+    query is SQL-expressible — every key must carry an oracle; a future
+    genuinely-non-SQL op must be added to ROWS_ONLY_ALLOWED here."""
+    ROWS_ONLY_ALLOWED: set[str] = set()
+    qs = entrymod.queries()
+    for name in qs:
+        assert name.isidentifier(), f"bad registry key: {name!r}"
+    missing = set(qs) - set(entrymod.oracle_sql()) - ROWS_ONLY_ALLOWED
+    assert not missing, f"queries without an oracle: {sorted(missing)}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_query_runs_deterministically(spark, sf_dir, name):
     """Queries without a SQL oracle (probabilistic/bit-twiddling ops) still

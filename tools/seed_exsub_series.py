@@ -1,0 +1,51 @@
+"""Seed the exsub_pairs scaling series with the exact bench.py protocol
+(same corpus builder, same run fn, same scaling_pairs persistence), so
+the per-round driver run appends to an already-estimated series.
+Run: python tools/seed_exsub_series.py [pairs]
+"""
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import (  # noqa: E402
+    EXSUB_SCALING_REPLICAS,
+    exsub_input_path,
+    run_exsub_once,
+    scaling_pairs,
+)
+from bocadillo_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = get_spark(app_name="exsub_seed_build", cores=8)
+    path = exsub_input_path(
+        spark, "/root/testdata/sf0.1", replicas=EXSUB_SCALING_REPLICAS
+    )
+    n = spark.read.parquet(path).count()
+    spark.stop()
+    print(json.dumps({"corpus": path, "n_docs": n}), flush=True)
+    res = scaling_pairs(
+        lambda s, p=path: run_exsub_once(s, p),
+        series="exsub_pairs",
+        protocol=(
+            "exact_substring_dedup local[1] vs local[4], sf0.1 "
+            "documents + planted shared passages "
+            f"x{EXSUB_SCALING_REPLICAS} word-suffix-disjoint replicas "
+            f"({EXSUB_SCALING_REPLICAS * 5000} docs, 16-file parquet), "
+            "rolling-hash window kernel (k=32) -> duplicate-window agg "
+            "-> coverage cut -> md5 reassembly, forced by a sum/max "
+            "aggregate (count() could skip the md5 path), "
+            "autoBroadcastJoinThreshold=-1 (the pinned 100-TB join "
+            "policy: the window frame's self-join never broadcasts at "
+            "scale), warmups=1, fresh plans"
+        ),
+        pairs=pairs,
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    )
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()
