@@ -246,6 +246,23 @@ EXSUB_INPUT_FILES = 16
 #   p ~= 56 s) predicts ~0.89 and is the pinned series.
 EXSUB_SCALING_REPLICAS = int(os.environ.get("SPARK_GRAFT_EXSUB_REPLICAS", "96"))
 
+# The series' protocol string is identity metadata under the versioned-
+# series discipline (SERIES_BOUNDS / scaling_history.json): the seeder
+# tool imports THIS constant so a future protocol change cannot write
+# mixed protocol notes into the same exsub_pairs series.
+EXSUB_PAIRS_PROTOCOL = (
+    "exact_substring_dedup local[1] vs local[4], sf0.1 "
+    "documents + planted shared passages "
+    f"x{EXSUB_SCALING_REPLICAS} word-suffix-disjoint replicas "
+    f"({EXSUB_SCALING_REPLICAS * 5000} docs, 16-file parquet), "
+    "rolling-hash window kernel (k=32) -> duplicate-window agg "
+    "-> coverage cut -> md5 reassembly, forced by a sum/max "
+    "aggregate (count() could skip the md5 path), "
+    "autoBroadcastJoinThreshold=-1 (the pinned 100-TB join "
+    "policy: the window frame's self-join never broadcasts at "
+    "scale), warmups=1, fresh plans"
+)
+
 
 def exsub_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
     """Materialize the exact-substring corpus (documents + the planted
@@ -698,18 +715,7 @@ def main() -> None:
         scaling_results["scaling_exsub"] = scaling_pairs(
             lambda s, p=exsub_scaling_path: run_exsub_once(s, p),
             series="exsub_pairs",
-            protocol=(
-                "exact_substring_dedup local[1] vs local[4], sf0.1 "
-                "documents + planted shared passages "
-                f"x{EXSUB_SCALING_REPLICAS} word-suffix-disjoint replicas "
-                f"({EXSUB_SCALING_REPLICAS * 5000} docs, 16-file parquet), "
-                "rolling-hash window kernel (k=32) -> duplicate-window agg "
-                "-> coverage cut -> md5 reassembly, forced by a sum/max "
-                "aggregate (count() could skip the md5 path), "
-                "autoBroadcastJoinThreshold=-1 (the pinned 100-TB join "
-                "policy: the window frame's self-join never broadcasts at "
-                "scale), warmups=1, fresh plans"
-            ),
+            protocol=EXSUB_PAIRS_PROTOCOL,
             pairs=1,
             extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
         )
@@ -724,9 +730,18 @@ def main() -> None:
         """best-of-2 with FRESH plans per attempt: the VM's burst-credit
         throttling makes single-shot timings bimodal (measured 2.9-69 s
         for identical work); min-of-2 keeps the recorded series comparable
-        across rounds without hiding real regressions."""
+        across rounds without hiding real regressions.
+
+        _drain_persists() before EVERY attempt (round-6 fix): with the
+        persist_evicting LRU, attempt 2's logically-identical plan would
+        otherwise be rewritten by Spark's CacheManager onto attempt 1's
+        still-cached frame (reproduced: dedup_minhash 6.12 s cold vs
+        1.42 s warm with InMemoryTableScan in the executed plan), so
+        best-of-2 would silently record cache-read timings for every
+        persisting query and break round-over-round comparability."""
         best = None
         for _ in range(2):
+            _drain_persists()
             t0 = time.time()
             build().collect()
             dt = time.time() - t0

@@ -49,11 +49,18 @@ def persist_evicting(df: DataFrame) -> DataFrame:
     curate_corpus persisting survivors downstream of a persisted dedup
     frame) restored the double-execution cost the persist exists to
     prevent. With _PERSIST_LRU_SLOTS slots every frame of a composed plan
-    stays cached; memory stays bounded (persist() is MEMORY_AND_DISK and
-    at most 4 mid-plan frames — each far smaller than the corpus — are
-    retained). Single-call plans are unchanged: their own frame was
-    always the surviving slot, so every previously graded executed plan
-    is byte-identical (pinned by test_plans.py::test_persist_lru)."""
+    stays cached. Memory bound: persist() is MEMORY_AND_DISK, and some
+    persisted frames are corpus-scale or larger (exsub's per-token window
+    frame, bigram_logprob's exploded pairs), so the LRU alone would let
+    up to 4 such frames from CONSECUTIVE queries linger in one session.
+    Two drains restore the evict-all-between-queries profile every graded
+    row was earned under: the registry wrapper (queries.py::query) drains
+    at entry of every registry call, and bench.py's timed()/scaling loops
+    drain before every timed attempt (else best-of-2's second attempt is
+    CacheManager-rewritten onto the first attempt's cached frame —
+    measured 6.12 s cold vs 1.42 s warm for dedup_minhash). Within one
+    plan the LRU's composition benefit is unchanged (pinned by
+    test_plans.py::test_persist_lru)."""
     while len(_PERSISTED) >= _PERSIST_LRU_SLOTS:
         try:
             _PERSISTED.pop(0).unpersist()

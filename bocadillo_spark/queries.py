@@ -36,7 +36,30 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Drain persist_evicting's LRU before building this query's
+            # plan. The round-6 LRU (dedup.py) stopped evicting the
+            # PREVIOUS query's cached frames at plan-construction time, so
+            # in a sequential multi-query session (the driver's grading
+            # run, dress_rehearsal.py) a later query whose plan contains a
+            # logically-equal subtree would silently execute against the
+            # earlier query's InMemoryTableScan — a changed executed plan
+            # and a memory profile of up to 4 corpus-scale lingering
+            # frames. Draining at registry-entry restores the evict-all-
+            # between-queries semantics every graded row was earned under,
+            # while keeping the LRU's within-plan composition benefit
+            # (curation_pipeline's stages persist under ONE entry call).
+            # Direct operator calls are unaffected (the module-level
+            # function is returned unwrapped below).
+            from .operators.dedup import persist_drain
+
+            persist_drain()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLES[name] = sql
         return fn
@@ -3019,11 +3042,16 @@ def q_semantic_dedup(spark, sf_dir):
 # flagship = 52 > 50): both byte-unchanged since r01, their r04 rows are
 # exactly two rounds old at the end of r06 — the relaxed limit — and they
 # MUST take r07 slots (r07 budget: ~47 r05-latest + these 2 = 49 ≤ 50).
-# The 47 entries left outside are r05-green and byte-unchanged (the
-# persist_evicting LRU change is plan-identical for every single-call
-# user — pinned by test_plans.py::test_persist_lru; bigram_logprob's
-# pair/uni persists are graded fresh in this very window), so cumulative
-# green stays 99/99 with no row older than two rounds.
+# The 47 entries left outside are r05-green and byte-unchanged. The
+# persist_evicting LRU change is plan-identical for them because the
+# registry wrapper (query() above) drains the LRU at entry of every
+# registry call — without that drain a later query in a sequential
+# grading session could be CacheManager-rewritten onto an earlier
+# query's cached frame, i.e. a changed executed plan (found by the
+# round-6 review; pinned by test_plans.py::test_persist_lru and
+# test_registry_call_starts_cold). bigram_logprob's pair/uni persists
+# are graded fresh in this very window. Cumulative green stays 99/99
+# with no row older than two rounds.
 _GRADE_FIRST = [
     # (a) new this round
     "bigram_logprob",

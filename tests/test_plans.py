@@ -329,3 +329,40 @@ def test_persist_lru(spark, sf_dir):
         except Exception:
             pass
     dd._PERSISTED.clear()
+
+
+def test_registry_call_starts_cold(spark, sf_dir):
+    """Registry-entry drain (round-6 review fix): QUERIES[name] drains
+    persist_evicting's LRU before building its plan, so a sequential
+    multi-query session (the driver's grading run) never rewrites a later
+    query onto an earlier query's cached frame. Without the drain the
+    second call's executed plan contains InMemoryTableScan over the first
+    call's frame (reproduced: 6.12 s cold vs 1.42 s warm for
+    dedup_minhash) — a changed plan and a corpus-scale memory pin the
+    graded rows were never earned under."""
+    from pyspark import StorageLevel
+
+    from bocadillo_spark.operators import dedup as dd
+    from bocadillo_spark.queries import QUERIES
+
+    while dd._PERSISTED:
+        dd._PERSISTED.pop().unpersist()
+
+    # dedup_simhash persists its signature frame via persist_evicting
+    df1 = QUERIES["dedup_simhash"](spark, sf_dir)
+    df1.collect()
+    assert dd._PERSISTED, "precondition: the query persists a frame"
+    held = list(dd._PERSISTED)
+
+    # a SECOND registry call — a different, non-persisting query, so the
+    # observation isn't confounded by call 2 re-persisting the same
+    # logical plan (storageLevel is resolved by plan equality, so a
+    # same-query re-run would show the NEW cache entry) — must drain the
+    # LRU at entry: every call-1 frame is unpersisted BEFORE call 2's
+    # plan is built, so the CacheManager cannot rewrite any later query
+    # onto call-1's corpus-scale frames.
+    QUERIES["text_stats"](spark, sf_dir).collect()
+    assert all(f.storageLevel == StorageLevel.NONE for f in held)
+    assert all(f not in dd._PERSISTED for f in held)
+    while dd._PERSISTED:
+        dd._PERSISTED.pop().unpersist()

@@ -9,6 +9,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from bench import (  # noqa: E402
+    EXSUB_PAIRS_PROTOCOL,
     EXSUB_SCALING_REPLICAS,
     exsub_input_path,
     run_exsub_once,
@@ -29,18 +30,7 @@ def main() -> None:
     res = scaling_pairs(
         lambda s, p=path: run_exsub_once(s, p),
         series="exsub_pairs",
-        protocol=(
-            "exact_substring_dedup local[1] vs local[4], sf0.1 "
-            "documents + planted shared passages "
-            f"x{EXSUB_SCALING_REPLICAS} word-suffix-disjoint replicas "
-            f"({EXSUB_SCALING_REPLICAS * 5000} docs, 16-file parquet), "
-            "rolling-hash window kernel (k=32) -> duplicate-window agg "
-            "-> coverage cut -> md5 reassembly, forced by a sum/max "
-            "aggregate (count() could skip the md5 path), "
-            "autoBroadcastJoinThreshold=-1 (the pinned 100-TB join "
-            "policy: the window frame's self-join never broadcasts at "
-            "scale), warmups=1, fresh plans"
-        ),
+        protocol=EXSUB_PAIRS_PROTOCOL,
         pairs=pairs,
         extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
     )
