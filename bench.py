@@ -304,6 +304,48 @@ def exsub_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
     return path
 
 
+GOPHER_SCALING_REPLICAS = 6
+
+# Continues the gopher_pairs_v2 series unversioned: identical corpus (the
+# minhash x6 word-suffix replica corpus), identical plan and forcing agg —
+# only the recording cadence changed (manually seeded through r05,
+# recurring in bench.py's per-round run since r06), which is metadata,
+# not measurement protocol.
+GOPHER_PAIRS_V2_PROTOCOL = (
+    "repetition_scores (Gopher top-bigram/dup-trigram) local[1] vs "
+    "local[4], 33k-doc 16-file corpus (the minhash x6 input under the "
+    "round-5 wrap-free word-suffix replica map — v2 because the v1 "
+    "series ran on the earlier caesar-replica corpus), materialized via "
+    "agg(count, sum(top_bigram_frac)) so the per-row expressions cannot "
+    "be pruned, warmups=1, fresh plans — seeded manually r4-r5, "
+    "recurring per bench run since r6 (cadence change only: identical "
+    "corpus/plan/agg, series continues unversioned); bounds pinned "
+    "after seeding from healthy-mode walls"
+)
+
+
+def run_gopher_once(spark, input_path: str) -> float:
+    """One timed Gopher-repetition run on a FRESH plan — exploded n-gram
+    tally (top-bigram fraction + dup-trigram char fraction) forced by
+    agg(count, sum(top_bigram_frac)) so no per-row expression can be
+    pruned. Exactly the gopher_pairs_v2 seeding recipe."""
+    from pyspark.sql import functions as F
+
+    from bocadillo_spark.operators.textops import repetition_scores
+
+    docs = spark.read.parquet(input_path)
+    t0 = time.time()
+    row = (
+        repetition_scores(docs)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("top_bigram_frac").alias("s"))
+        .collect()[0]
+    )
+    dt = time.time() - t0
+    assert row["n"] > 0
+    _drain_persists()
+    return dt
+
+
 def run_exsub_once(spark, input_path: str) -> float:
     """One timed exact-substring dedup run on a FRESH plan: rolling-hash
     window kernel -> duplicate-window agg -> coverage cut -> md5
@@ -651,6 +693,9 @@ def main() -> None:
         exsub_scaling_path = exsub_input_path(
             spark, sf_dir, replicas=EXSUB_SCALING_REPLICAS
         )
+        gopher_scaling_path = minhash_input_path(
+            spark, sf_dir, replicas=GOPHER_SCALING_REPLICAS
+        )
     spark.stop()
 
     # ORDER matters under the burst-credit regime: the whole scaling
@@ -718,6 +763,14 @@ def main() -> None:
             protocol=EXSUB_PAIRS_PROTOCOL,
             pairs=1,
             extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+        )
+        # recurring since r6 (formerly manually seeded — see the protocol
+        # constant): no join in the plan, so no broadcast-policy conf
+        scaling_results["scaling_gopher"] = scaling_pairs(
+            lambda s, p=gopher_scaling_path: run_gopher_once(s, p),
+            series="gopher_pairs_v2",
+            protocol=GOPHER_PAIRS_V2_PROTOCOL,
+            pairs=1,
         )
 
     spark = get_spark(app_name="bench_queries", cores=cpus)
