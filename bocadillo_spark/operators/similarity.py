@@ -726,7 +726,14 @@ def ivf_topk_indexed(
     and prunes the rest at planning time. queries: (q_id, qe
     array<double>)."""
     centroids = spark.read.parquet(f"{index_dir}/centroids")
-    probes = (
+    # persisted (via the LRU + registry-drain lifecycle): the tiny probes
+    # frame (≤ n_queries × nprobe rows) feeds BOTH the driver-side
+    # probe-id collect and the scored join's left side — unpersisted, the
+    # centroid crossJoin + window executed twice (round-6 review: the
+    # repeated-subtree class the plan audits flag)
+    from .dedup import persist_evicting
+
+    probes = persist_evicting(
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("dist", _sq_dist(F.col("qe"), F.col("ce")))
         .withColumn(

@@ -2996,7 +2996,17 @@ def q_semantic_dedup(spark, sf_dir):
     union-find duplicate groups, keep = LOWEST centroid-similarity member
     per group (diversity-preserving, ties to min vec_id). The DuckDB twin
     replays every stage including recursive min-label propagation
-    (similarity.semantic_oracle_sql)."""
+    (similarity.semantic_oracle_sql).
+
+    Oracle-validity contract (round-6 review #4): the twin encodes NO
+    cluster-size cap while the operator pass-throughs clusters >
+    SEM_MAX_CLUSTER as keep-all with a report; they agree exactly while
+    every cluster is under the cap, which this fixture guarantees by
+    construction (~25 clusters x ~(550/25)x2 members << 8192; the stride
+    quantizer keeps cluster sizes ~uniform at every SF the driver
+    grades). The cap path itself is exercised in pytest with a tiny
+    max_cluster override — the same contract split as dedup_embedding's
+    EMB_MAX_BUCKET vs its all-pairs oracle."""
     from .operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings").select(
