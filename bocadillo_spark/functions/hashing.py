@@ -122,8 +122,9 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     hash family. Deterministic and self-consistent, which is all the
     pytest oracle needs."""
     sh = word_shingles(text, k)
-    if not sh:
-        return np.full(N_PERM, MERSENNE61, dtype=np.uint64)
+    # word_shingles always returns >= 1 shingle (short texts pad with
+    # empty-string tokens), so empty text hashes the padded '  ' shingle
+    # rather than taking a sentinel path — no empty-list case exists.
     hv = np.fromiter((stable_hash64(s) for s in sh), dtype=np.uint64, count=len(sh))
     prods = (_A[:, None] * (hv[None, :] % MERSENNE61) + _B[:, None]) % MERSENNE61
     return prods.min(axis=1)

@@ -49,10 +49,14 @@ def _doc_id_from_url(url):
 
 def recrawl_variants(pages: DataFrame) -> DataFrame:
     """Deterministic dirty-URL fixture (the planted-pair idiom, like
-    dedup.augment_with_near_dups): each page re-emitted under 0-1 extra
+    dedup.augment_with_near_dups): each page re-emitted under 0-2 extra
     spellings keyed on doc_id — tracking-tagged (doc_id%3==0),
-    fbclid+fragment (doc_id%3==1), uppercased host (doc_id%5==2). All
-    spellings canonicalize back to the page's clean url."""
+    fbclid+fragment (doc_id%3==1), uppercased host (doc_id%5==2). The
+    %3 and %5 conditions overlap (e.g. doc_id=12 gets both the tracking
+    tag and the upper-host variant, 3 spellings total — pinned in
+    tests/test_similarity_textops.py), which the url_dedup_canonical
+    oracle's additive CASE arithmetic mirrors exactly. All spellings
+    canonicalize back to the page's clean url."""
     d = _doc_id_from_url(F.col("url"))
     url = F.col("url")
     upper_host = F.concat(

@@ -49,8 +49,17 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     Spark disallows referencing only `_corrupt_record` straight off a raw
     text scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
     documented workaround is to materialize first, which also means the
-    file is parsed once for both branches."""
-    df = df.cache()
+    file is parsed once for both branches.
+
+    The materialization goes through persist_evicting (the repo's bounded
+    LRU), not a bare .cache(): a bare cache is never unpersisted, so a
+    long session calling split_corrupt repeatedly would pin one cached
+    copy per call in executor storage for the rest of the session. The
+    LRU bounds that to _PERSIST_LRU_SLOTS frames and the registry/bench
+    drains clear it between graded runs."""
+    from ..operators.dedup import persist_evicting
+
+    df = persist_evicting(df)
     good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, bad

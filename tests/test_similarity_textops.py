@@ -477,3 +477,59 @@ def test_ivf_assign_vectorized_equals_minby_twin(spark, sf_dir):
     an = {r["vec_id"]: r["list_id"]
           for r in ivf_assign(e, cents, vectorized=False).collect()}
     assert av == an and len(av) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-6 third-review findings, pinned as xfail until the round-7 fix
+# window (REVIEW_r06.md batch 3: url_dedup_canonical is r05-green and
+# outside the full round-6 grading window; the regrade-on-change
+# convention defers the canonicalizer fixes to round 7). Each test
+# asserts the CORRECT behavior and fails on the current code.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.xfail(
+    reason="REVIEW_r06 3rd batch #1: canonical_url collapses any URL "
+    "without a scheme://authority prefix to the empty string, merging "
+    "all scheme-less URLs into one canonical key. Fix: no-match "
+    "passthrough. Round-7.",
+    strict=False,
+)
+def test_canonical_url_schemeless_passthrough(spark):
+    import datetime as dt
+
+    from bocadillo_spark.operators.urls import url_dedup
+
+    crawl = spark.createDataFrame(
+        [
+            ("example.com/a", dt.datetime(2024, 1, 1)),
+            ("other.org/b", dt.datetime(2024, 1, 2)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    keys = {r["canonical_url"] for r in url_dedup(crawl).collect()}
+    assert keys == {"example.com/a", "other.org/b"}, (
+        f"scheme-less URLs merged: {keys}"
+    )
+
+
+@pytest.mark.xfail(
+    reason="REVIEW_r06 3rd batch #2: query extraction uses "
+    "substring_index(u, '?', -1) (text after the LAST '?'), silently "
+    "dropping params between the first and last '?' — two distinct URLs "
+    "canonicalize to one key. Fix: split on the FIRST '?'. Round-7.",
+    strict=False,
+)
+def test_canonical_url_question_mark_in_query(spark):
+    import datetime as dt
+
+    from bocadillo_spark.operators.urls import url_dedup
+
+    crawl = spark.createDataFrame(
+        [
+            ("https://h/p?a=1?b=2", dt.datetime(2024, 1, 1)),
+            ("https://h/p?a=9?b=2", dt.datetime(2024, 1, 2)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    assert url_dedup(crawl).count() == 2, "distinct multi-'?' URLs merged"
