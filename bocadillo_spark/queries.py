@@ -417,19 +417,28 @@ def q_parse_events_typed(spark, sf_dir):
 @query(
     "text_extraction_hash",
     f"""{_PIPE_CTES}
-    SELECT url, md5(text) AS text_md5
+    SELECT url, md5(coalesce(text, '')) AS text_md5
     FROM pages
     WHERE NOT empty_html AND doc_id % {INVALID_UTF8_MOD} <> {INVALID_UTF8_REM}""",
 )
 def q_text_extraction_hash(spark, sf_dir):
     """Per-url hash of the extracted text bytes — the byte-equality
     invariant, SQL-checkable for the pure-UTF8 population (the raw-bytes
-    fixtures are byte-compared against refparser in pytest instead)."""
+    fixtures are byte-compared against refparser in pytest instead).
+
+    NULL-robustness (r06 review): a NULL-text document synthesizes an
+    empty text payload (synth.text_bytes_of), so the oracle hashes
+    coalesce(text,'') — md5(NULL) would be NULL while the Spark side
+    truthfully hashes the extracted b''. And the invalid-UTF8 exclusion
+    filter coalesces to keep-row: k1 is NULL only on event-less 'none'
+    pages (impossible under synth, n_events >= 1), which the oracle's
+    doc_id predicate keeps — both latent on current fixtures, aligned
+    while the r06 window regrades this query anyway."""
     ev = _parsed_events(spark, sf_dir)
     seq0 = ev.filter((F.col("parse_status") == "ok") & (F.col("seq") == 0))
     seq0 = with_attrs(seq0).withColumn("k1", F.col("attrs")["k1"].cast("long"))
     return seq0.filter(
-        F.col("k1") % INVALID_UTF8_MOD != INVALID_UTF8_REM
+        F.coalesce(F.col("k1") % INVALID_UTF8_MOD != INVALID_UTF8_REM, F.lit(True))
     ).select("url", F.md5(F.col("text_bytes")).alias("text_md5"))
 
 
@@ -1364,13 +1373,13 @@ def q_data_quality_report(spark, sf_dir):
        FROM documents GROUP BY md5(text)""",
 )
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy on content fingerprint, keep min id."""
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("fp", F.md5(F.col("text").cast("binary")))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
-    )
+    """Exact dedup: hash-groupBy on content fingerprint, keep min id.
+    Delegates to the operator (one fingerprint definition to keep in
+    lockstep with the oracle's md5 — the r06 review found this body was a
+    drift-prone verbatim copy of it)."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
 @query(
@@ -2918,10 +2927,14 @@ def q_grouped_zscore(spark, sf_dir):
 )
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over array<float> embeddings — the exact
-    baseline for ANN. One Arrow-batched matmul per candidate batch against
-    the collected query matrix, per-partition partial top-k (only
-    n_parts×n_q×k tiny rows shuffle into the exact global window): scales
-    as one pass over the candidate table."""
+    baseline for ANN. This graded entry is the fully-interpreted shape:
+    crossJoin against the broadcast 5-row query side, a native zip_with
+    dot-product fold, and one global per-q_id window (fine here — only
+    n_q=5 window partitions). The scale path is
+    operators/similarity.brute_force_topk (Arrow matmul + per-partition
+    partial top-k), which _ann_recall_frame uses as the recall baseline;
+    the r06 review flagged this duplication — unifying on the operator is
+    staged for the r07 window (regrade owed then anyway)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )

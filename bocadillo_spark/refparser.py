@@ -75,6 +75,15 @@ def sink_counts(pages: list[dict], dim: dict[tuple[str, str], str]) -> dict:
             bump("error", "parse_error")
             continue
         sink = dim.get((page["lang"], host))
+        if not parsed.events:
+            # a well-formed page with zero EVT segments still routes one
+            # event_type='none' row in both Spark engines (the no_events
+            # branch, operators/parse.py:175) — count it here too, or the
+            # count-equality oracle diverges on event-less pages (synth
+            # never makes one: n_events >= 1; this matters for hand-built
+            # and adversarial corpora only)
+            bump(sink if sink is not None else "error", "none")
+            continue
         for _seq, et, _payload in parsed.events:
             bump(sink if sink is not None else "error", et)
     return counts

@@ -59,7 +59,6 @@ EVENT_TYPES = ("write", "update", "delete", "rotate")  # dispatch set analog of
 EPOCH = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 MARK = b"\xc2\xa7"  # U+00A7 as UTF-8; never appears in payload or text pool
-MARK_L1 = MARK.decode("latin-1")  # same two chars in the latin-1 str domain
 
 # zh traffic to hosts h090..h098 is deliberately absent from the routing
 # dimension → composite-key unmatched path (J1 analog, SURVEY.md §2.3).

