@@ -110,16 +110,57 @@ def minhash_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
     x48 made 22 replica pairs exact duplicates and blew candidates up
     180x; the suffix map has no wrap). The write happens once, outside
     every timed region."""
-    from pyspark.sql import functions as F
-
     from bocadillo_spark.operators import dedup as D
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"{BENCH_DIR}/minhash_docs_{tag}_f{MINHASH_INPUT_FILES}_r{replicas}_w"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        aug = D.augment_with_near_dups(
+    return _word_suffix_replica_corpus(
+        spark,
+        lambda: D.augment_with_near_dups(
             spark.read.parquet(f"{sf_dir}/documents.parquet")
-        )
+        ),
+        path=f"{BENCH_DIR}/minhash_docs_{_sf_tag(sf_dir)}"
+             f"_f{MINHASH_INPUT_FILES}_r{replicas}_w"
+             f"{_vtag(MINHASH_CORPUS_VERSION)}",
+        replicas=replicas,
+        n_files=MINHASH_INPUT_FILES,
+    )
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return sf_dir.strip("/").replace("/", "_")
+
+
+# Corpus-builder grammar versions — bump the matching constant WHENEVER the
+# corpus construction changes (the augment function it names, the suffix/
+# shift replica map, passage content), or the next bench run silently reuses
+# the stale cached /tmp corpus under the new protocol description — the
+# stale-reuse class _pages_path's v{SYNTH_VERSION} component prevents for
+# pages (round-6 review #9). v1 maps to the legacy path suffix so
+# introducing the mechanism doesn't force a rebuild of the seeded x96
+# corpora; a bump starts a versioned series per the SERIES_BOUNDS
+# convention anyway.
+MINHASH_CORPUS_VERSION = 1  # augment_with_near_dups + word-suffix map ('_w')
+EXSUB_CORPUS_VERSION = 1  # augment_with_shared_passages + word-suffix map ('_w')
+EMBEDDING_CORPUS_VERSION = 1  # x1.01 variants + cyclic-shift/lap-sign map ('_s')
+
+
+def _vtag(version: int) -> str:
+    return "" if version == 1 else f"_v{version}"
+
+
+def _word_suffix_replica_corpus(spark, build_aug, path: str, replicas: int,
+                                n_files: int) -> str:
+    """Shared replica-scaling corpus builder (minhash + exsub protocols —
+    one copy, round-6 review #8): offset doc_ids by a disjoint 10M stride
+    per replica and suffix every word with a replica-unique tag (bijective
+    per-replica word map: word equality — planted structure, Jaccard,
+    window equality, bucket sizes — is preserved exactly within a replica
+    while no word/window is ever shared ACROSS replicas, so candidates
+    scale linearly at any replica count; no wrap, unlike the archived
+    Caesar map). Written once, outside every timed region."""
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        aug = build_aug()
         parts = [
             aug.select(
                 (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
@@ -136,7 +177,7 @@ def minhash_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
         corpus = parts[0]
         for p in parts[1:]:
             corpus = corpus.unionByName(p)
-        corpus.repartition(MINHASH_INPUT_FILES).write.mode("overwrite").parquet(path)
+        corpus.repartition(n_files).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -159,8 +200,9 @@ def embedding_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
     every timed region."""
     from pyspark.sql import functions as F
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"{BENCH_DIR}/embedding_vecs_{tag}_f{EMBEDDING_INPUT_FILES}_r{replicas}_s"
+    path = (f"{BENCH_DIR}/embedding_vecs_{_sf_tag(sf_dir)}"
+            f"_f{EMBEDDING_INPUT_FILES}_r{replicas}_s"
+            f"{_vtag(EMBEDDING_CORPUS_VERSION)}")
     if not os.path.exists(f"{path}/_SUCCESS"):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
@@ -273,35 +315,21 @@ def exsub_input_path(spark, sf_dir: str, replicas: int = 1) -> str:
     cut counts, coverage) while no k-token window is ever shared across
     replicas — parallel work scales linearly, candidates do not blow up.
     The plant happens BEFORE the suffix map so passage windows are
-    per-replica duplicates. Written once, outside every timed region."""
-    from pyspark.sql import functions as F
-
+    per-replica duplicates (shared builder: _word_suffix_replica_corpus).
+    Written once, outside every timed region."""
     from bocadillo_spark.operators.cleanops import augment_with_shared_passages
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"{BENCH_DIR}/exsub_docs_{tag}_f{EXSUB_INPUT_FILES}_r{replicas}_w"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        aug = augment_with_shared_passages(
+    return _word_suffix_replica_corpus(
+        spark,
+        lambda: augment_with_shared_passages(
             spark.read.parquet(f"{sf_dir}/documents.parquet")
-        )
-        parts = [
-            aug.select(
-                (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
-                F.array_join(
-                    F.transform(
-                        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-                        lambda w: F.concat(w, F.lit(f"_{r}")),
-                    ),
-                    " ",
-                ).alias("text"),
-            )
-            for r in range(replicas)
-        ]
-        corpus = parts[0]
-        for p in parts[1:]:
-            corpus = corpus.unionByName(p)
-        corpus.repartition(EXSUB_INPUT_FILES).write.mode("overwrite").parquet(path)
-    return path
+        ),
+        path=f"{BENCH_DIR}/exsub_docs_{_sf_tag(sf_dir)}"
+             f"_f{EXSUB_INPUT_FILES}_r{replicas}_w"
+             f"{_vtag(EXSUB_CORPUS_VERSION)}",
+        replicas=replicas,
+        n_files=EXSUB_INPUT_FILES,
+    )
 
 
 GOPHER_SCALING_REPLICAS = 6
@@ -392,7 +420,15 @@ def timed_job_at(
         times = sorted(job(spark) for _ in range(runs))
     finally:
         spark.stop()
-    return times[len(times) // 2]
+    # LOWER median: the exact median for odd runs, the MIN for runs=2 —
+    # matching timed()'s documented best-of-2 anti-throttle protocol. The
+    # previous upper index (len//2) silently returned the WORSE of two
+    # runs for the runs=2 headline calls, recording the throttled mode
+    # while every per-query timing took min-of-2 (round-6 review; the
+    # r01-r05 headline walls were recorded under the old worse-of-2
+    # convention — noted in BENCH/BASELINE.md). Scaling pairs use runs=1
+    # and are unaffected in every round.
+    return times[(len(times) - 1) // 2]
 
 
 def timed_pipeline_at(
@@ -450,6 +486,26 @@ SERIES_BOUNDS = {
     "gopher_pairs_v2": {"small_max": 50.0, "big_max": 13.5},
     "embedding_pairs": {"small_max": 60.0, "big_max": 15.0},
 }
+
+
+# The pinned scaling protocols all measure the sf0.1 corpus at these
+# replica counts. Pairs from ANY env-overridden corpus (SPARK_GRAFT_SF_DIR,
+# SPARK_GRAFT_REPLICAS, SPARK_GRAFT_EXSUB_REPLICAS) are diverted to a
+# clearly-named ad-hoc series instead of the pinned one: the SERIES_BOUNDS
+# floors only guard minhash/exsub, so an off-protocol pair in the other
+# series would enter the north_rule median unflagged (round-6 review #3/#4),
+# and an env-rebuilt protocol note would misdescribe every existing pair.
+PINNED_SF_DIR = "/root/testdata/sf0.1"
+PINNED_PIPELINE_REPLICAS = 400
+PINNED_EXSUB_REPLICAS = 96
+
+
+def _series_or_adhoc(base: str, on_protocol: bool, suffix: str) -> tuple[str, bool]:
+    """(series_name, is_pinned): the pinned name iff the run's corpus
+    matches the pinned protocol, else `{base}_adhoc_{suffix}`."""
+    if on_protocol:
+        return base, True
+    return f"{base}_adhoc_{suffix}", False
 
 
 def _pair_excluded(series: str, p: dict) -> bool:
@@ -577,6 +633,7 @@ def scaling_pairs(
     big: int = 4,
     pairs: int = 2,
     extra_conf: dict | None = None,
+    hist_path: str | None = None,
 ) -> dict:
     """Interleaved small/big pairs; per-pair efficiency = (t_small/t_big)/(big/small).
     Interleaving + median-of-ratios defends against the VM's capacity drift
@@ -607,14 +664,32 @@ def scaling_pairs(
     # run's pairs may land in a throttled window; the median over ALL
     # protocol-consistent pairs is the stable estimator. Every raw pair is
     # recorded — nothing is dropped.
-    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH", "scaling_history.json")
+    # only the REAL history may rewrite the authoritative BASELINE.md
+    # block — an injected hist_path (tests, ad-hoc experiments) must
+    # never push its pairs into the machine-owned summary
+    is_default_hist = hist_path is None
+    if is_default_hist:
+        hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH", "scaling_history.json")
     history = {"protocol": "pipeline local[1] vs local[4], x400 corpus (2M docs), warmups=1, fresh plans", "pairs": []}
-    try:
-        with open(hist_path) as f:
-            history = json.load(f)
-    except (OSError, ValueError):
-        pass
+    history_writable = True
+    if os.path.exists(hist_path):
+        try:
+            with open(hist_path) as f:
+                history = json.load(f)
+        except (OSError, ValueError) as e:
+            # The history is the north_rule's accumulated evidence
+            # (~180 pairs across 14 series). A corrupt/unreadable file
+            # must NEVER be silently replaced by an empty default and
+            # overwritten (round-6 review #2) — keep this run's pairs in
+            # the returned dict, leave the file untouched, and say so.
+            history_writable = False
+            print(
+                f"WARNING: {hist_path} exists but is unreadable ({e}); "
+                "NOT persisting this run's scaling pairs over it — "
+                "repair the file and re-run.",
+                file=sys.stderr,
+            )
     if protocol is not None:
         history[f"{series}_protocol"] = protocol
     plist = history.setdefault(series, [])
@@ -642,12 +717,14 @@ def scaling_pairs(
             f"their small wall stays in band — see bench.py SERIES_BOUNDS)"
             + _floor
         )
-    try:
-        with open(hist_path, "w") as f:
-            json.dump(history, f, indent=1)
-    except OSError:
-        pass
-    sync_baseline_summary(history)
+    if history_writable:
+        try:
+            with open(hist_path, "w") as f:
+                json.dump(history, f, indent=1)
+        except OSError:
+            pass
+        if is_default_hist:
+            sync_baseline_summary(history)
     valid_effs = sorted(p["eff"] for p in plist if not p["excluded"])
     all_effs = sorted(p["eff"] for p in plist)
     effs_sorted = sorted(effs)
@@ -711,11 +788,26 @@ def main() -> None:
     # exclusion rule flags whatever still lands drained — in any series,
     # symmetrically.
     scaling_results: dict[str, dict] = {}
+    # quarantine env-overridden corpora from the pinned series (review #3/#4)
+    on_sf = sf_dir == PINNED_SF_DIR
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    _adhoc_note = f"AD-HOC off-protocol run: sf_dir={sf_dir}, pipeline x{replicas}"
+    mh_series, mh_pinned = _series_or_adhoc("minhash_pairs", on_sf, sf_tag)
+    pipe_series, pipe_pinned = _series_or_adhoc(
+        "pairs", on_sf and replicas == PINNED_PIPELINE_REPLICAS,
+        f"{sf_tag}_x{replicas}",
+    )
+    emb_series, emb_pinned = _series_or_adhoc("embedding_pairs", on_sf, sf_tag)
+    exsub_series, exsub_pinned = _series_or_adhoc(
+        "exsub_pairs", on_sf and EXSUB_SCALING_REPLICAS == PINNED_EXSUB_REPLICAS,
+        f"{sf_tag}_x{EXSUB_SCALING_REPLICAS}",
+    )
+    gopher_series, gopher_pinned = _series_or_adhoc("gopher_pairs_v2", on_sf, sf_tag)
     if do_scaling:
         scaling_results["scaling_minhash"] = scaling_pairs(
             lambda s, p=mh_scaling_path: run_minhash_once(s, sf_dir, p),
-            series="minhash_pairs",
-            protocol=(
+            series=mh_series,
+            protocol=_adhoc_note if not mh_pinned else (
                 "minhash_dedup_pairs local[1] vs local[4], sf0.1 documents + "
                 "planted near-dups x96 word-suffix-disjoint replicas (528k "
                 "docs, 16-file parquet), fused Arrow signature kernel, "
@@ -737,12 +829,14 @@ def main() -> None:
             extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
         )
         scaling_results["scaling"] = scaling_pairs(
-            lambda s: run_pipeline_once(s, pages_path)
+            lambda s: run_pipeline_once(s, pages_path),
+            series=pipe_series,
+            protocol=None if pipe_pinned else _adhoc_note,
         )
         scaling_results["scaling_embedding"] = scaling_pairs(
             lambda s, p=emb_scaling_path, n=emb_n: run_embedding_once(s, p, n),
-            series="embedding_pairs",
-            protocol=(
+            series=emb_series,
+            protocol=_adhoc_note if not emb_pinned else (
                 "embedding_near_dup_pairs local[1] vs local[4], sf0.1 "
                 "embeddings + planted x1.01 variants, "
                 f"x{EMBEDDING_SCALING_REPLICAS} cyclic-shift replicas "
@@ -759,8 +853,8 @@ def main() -> None:
         )
         scaling_results["scaling_exsub"] = scaling_pairs(
             lambda s, p=exsub_scaling_path: run_exsub_once(s, p),
-            series="exsub_pairs",
-            protocol=EXSUB_PAIRS_PROTOCOL,
+            series=exsub_series,
+            protocol=EXSUB_PAIRS_PROTOCOL if exsub_pinned else _adhoc_note,
             pairs=1,
             extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
         )
@@ -768,8 +862,8 @@ def main() -> None:
         # constant): no join in the plan, so no broadcast-policy conf
         scaling_results["scaling_gopher"] = scaling_pairs(
             lambda s, p=gopher_scaling_path: run_gopher_once(s, p),
-            series="gopher_pairs_v2",
-            protocol=GOPHER_PAIRS_V2_PROTOCOL,
+            series=gopher_series,
+            protocol=GOPHER_PAIRS_V2_PROTOCOL if gopher_pinned else _adhoc_note,
             pairs=1,
         )
 

@@ -1,12 +1,18 @@
-"""spark-submit entry point.
+"""CLI entry point.
 
-Cluster usage (the north_rule deployment shape):
+Local: python -m bocadillo_spark.cli --mode counts --sf-dir ...
 
-    spark-submit --py-files bocadillo_spark.zip -m bocadillo_spark.cli \
-        --mode batch --pages /path/pages --out /path/out
+Cluster (the north_rule deployment shape — spark-submit takes a SCRIPT
+path, not -m; scripts/run_counts.py is the launcher pattern, exercised
+end-to-end by tests/test_spark_submit.py):
 
-    spark-submit ... --mode stream --pages /path/pages --out /path/out \
-        --checkpoint /path/ckpt
+    SPARK_GRAFT_MASTER="" spark-submit --master yarn \
+        --py-files bocadillo_spark.zip scripts/run_counts.py ...
+
+The empty SPARK_GRAFT_MASTER defers the master to spark-submit's
+--master; without it session.get_spark pins local[N], which would
+override the submit-time master and run everything in the driver JVM
+(round-6 review #6).
 
 In batch mode prints the per-sink counts and writes the fan-out + manifest;
 in stream mode runs the checkpointed foreachBatch pipeline to completion of

@@ -29,9 +29,20 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # SPARK_GRAFT_MASTER overrides the local[N] default; the EMPTY string
+    # means "don't set a master at all" — required under spark-submit,
+    # whose --master would otherwise be silently overridden by the
+    # builder's local[N] and run the whole job in the driver JVM with no
+    # executors (round-6 review #6: the documented cluster deployment
+    # never left the driver).
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        master = f"local[{cores}]"
+    builder = SparkSession.builder
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

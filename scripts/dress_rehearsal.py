@@ -1,29 +1,18 @@
 """Mirror the driver's correctness gate: run the first-50 window (or all
 queries with --all) on Spark at sf0.01 and compare rows/schema/values
-against the DuckDB oracles. Usage: python scripts/dress_rehearsal.py [--all]"""
-import math
+against the DuckDB oracles. Usage: python scripts/dress_rehearsal.py [--all]
+
+Normalization is shared with tools/oracle_check.py via
+tools/compare_core.py so the two gate mirrors cannot drift."""
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, ".")
-import __spark_entry__ as entrymod
-
-SF_DIR = "/root/testdata/sf0.01"
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
-
-
-def norm(v):
-    if isinstance(v, float):
-        return "nan" if math.isnan(v) else f"{v:.10g}"
-    return str(v)
-
-
-def rowset(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as entrymod  # noqa: E402
+from tools.compare_core import SF_DIR, register_views, rowset  # noqa: E402
 
 
 def main():
@@ -37,8 +26,7 @@ def main():
              .config("spark.driver.memory", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    register_views(con)
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     names = list(qs) if "--all" in sys.argv else list(qs)[:50]
     t0 = time.time()

@@ -92,3 +92,73 @@ def test_repo_baseline_block_matches_persisted_history():
     end = doc.find(bench.BASELINE_SUMMARY_END)
     assert begin > len(bench.BASELINE_SUMMARY_BEGIN) - 1 and end > begin
     assert doc[begin:end].strip() == bench.render_scaling_summary(history).strip()
+
+
+def test_scaling_pairs_never_overwrites_unreadable_history(tmp_path, monkeypatch):
+    """Round-6 review #2: a corrupt (truncated write, conflict marker)
+    scaling_history.json must never be silently replaced by the empty
+    default and overwritten — ~180 accumulated pairs are the north_rule
+    evidence. The guard skips persistence and says so on stderr."""
+    hist = tmp_path / "scaling_history.json"
+    hist.write_text('{"pairs": [{"small_sec": 40.0, "truncated...')
+    before = hist.read_text()
+    monkeypatch.setattr(bench, "timed_job_at", lambda *a, **k: 1.0)
+    monkeypatch.setattr(bench, "cpu_probe_mops", lambda *a, **k: 20.0)
+    out = bench.scaling_pairs(lambda s: 1.0, series="pairs", pairs=1,
+                              hist_path=str(hist))
+    assert hist.read_text() == before, "corrupt history was overwritten"
+    # the run's own pairs are still computed and returned
+    assert out["history_n_pairs"] == 1 and out["efficiency_per_pair"]
+
+
+def test_scaling_pairs_creates_missing_history(tmp_path, monkeypatch):
+    """A genuinely absent file (fresh clone) still persists normally —
+    and an INJECTED hist_path must never rewrite the real machine-owned
+    BASELINE.md block with its pairs (this very test did exactly that
+    before the is_default_hist guard)."""
+    import os
+
+    baseline = os.path.join(os.path.dirname(bench.__file__),
+                            "BENCH", "BASELINE.md")
+    before = open(baseline).read()
+    hist = tmp_path / "scaling_history.json"
+    monkeypatch.setattr(bench, "timed_job_at", lambda *a, **k: 1.0)
+    monkeypatch.setattr(bench, "cpu_probe_mops", lambda *a, **k: 20.0)
+    bench.scaling_pairs(lambda s: 1.0, series="pairs", pairs=1,
+                        hist_path=str(hist))
+    data = json.loads(hist.read_text())
+    assert len(data["pairs"]) == 1
+    assert open(baseline).read() == before, (
+        "injected hist_path leaked into the authoritative BASELINE.md block"
+    )
+
+
+def test_series_or_adhoc_quarantines_off_protocol_runs():
+    """Round-6 review #3/#4: env-overridden corpora must append to a
+    clearly-named ad-hoc series, never the pinned one."""
+    assert bench._series_or_adhoc("pairs", True, "x") == ("pairs", True)
+    name, pinned = bench._series_or_adhoc("exsub_pairs", False, "sf0.01_x24")
+    assert name == "exsub_pairs_adhoc_sf0.01_x24" and not pinned
+    # ad-hoc series have no SERIES_BOUNDS entry -> no exclusion flags,
+    # and they never appear in the _SUMMARY_SERIES authoritative block
+    assert name not in bench.SERIES_BOUNDS
+    assert all(s != name for s, _ in bench._SUMMARY_SERIES)
+
+
+def test_timed_job_at_lower_median(monkeypatch):
+    """Round-6 review #1: runs=2 must record the BETTER run (min), like
+    timed()'s best-of-2; odd runs keep the true median."""
+
+    class _FakeSpark:
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(
+        "bocadillo_spark.session.get_spark", lambda *a, **k: _FakeSpark()
+    )
+    seq = iter([99.0, 45.0, 7.0])  # warmup, run1 (throttled), run2 (healthy)
+    got = bench.timed_job_at(4, lambda s: next(seq), runs=2, warmups=1)
+    assert got == 7.0, f"runs=2 must take the min, got {got}"
+    seq3 = iter([99.0, 45.0, 7.0, 9.0])
+    got3 = bench.timed_job_at(4, lambda s: next(seq3), runs=3, warmups=1)
+    assert got3 == 9.0, f"runs=3 must take the median, got {got3}"

@@ -13,10 +13,11 @@ Stages:
 Run: python tools/exsub_phase_profile.py [replicas]
 """
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import exsub_input_path, cpu_probe_mops  # noqa: E402
 from bocadillo_spark.session import get_spark  # noqa: E402

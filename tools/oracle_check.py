@@ -7,7 +7,10 @@ row count, schema width, and exact values. Usage:
     python tools/oracle_check.py dedup_minhash chunk_dedup_fuzzy ...
     python tools/oracle_check.py --all            # every registry query
 
-Exit code 0 iff every requested query matches.
+Exit code 0 iff every requested query matches — and at least one query
+was requested (an empty selection is an error, not a vacuous pass).
+Normalization is shared with scripts/dress_rehearsal.py via
+tools/compare_core.py so the two gate mirrors cannot drift.
 """
 from __future__ import annotations
 
@@ -16,26 +19,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.01"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def _norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = f"{v:.9g}"
-            vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
-    return out
+from tools.compare_core import SF_DIR, register_views, rowset
 
 
 def main(argv):
@@ -45,7 +29,17 @@ def main(argv):
     from bocadillo_spark.session import get_spark
 
     qs, osql = e.queries(), e.oracle_sql()
-    names = list(qs) if "--all" in argv else [a for a in argv if not a.startswith("-")]
+    flags = [a for a in argv if a.startswith("-")]
+    bad_flags = [f for f in flags if f != "--all"]
+    if bad_flags:
+        print("unknown flags:", bad_flags, "(did you mean --all?)")
+        return 2
+    names = list(qs) if "--all" in flags else [a for a in argv if not a.startswith("-")]
+    if not names:
+        # round-6 review #5: zero comparisons must not exit 0 with a
+        # success message — a typo'd invocation would read as green
+        print("no queries requested — pass names or --all")
+        return 2
     unknown = [n for n in names if n not in qs]
     if unknown:
         print("unknown queries:", unknown)
@@ -55,20 +49,17 @@ def main(argv):
     # driver-equivalent rehearsal uses (default heap OOMs iterative CC)
     spark = get_spark("oracle_check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+    register_views(con)
 
     failures = []
     for name in names:
         sdf = qs[name](spark, SF_DIR)
-        srows = _norm([tuple(r) for r in sdf.collect()], sdf.columns)
+        srows = rowset(sdf.columns, [tuple(r) for r in sdf.collect()])
         if name not in osql:
             print(f"{name}: rows-only ({len(srows)} rows, no oracle)")
             continue
         rel = con.sql(osql[name])
-        drows = _norm(rel.fetchall(), list(rel.columns))
+        drows = rowset(list(rel.columns), rel.fetchall())
         ok = srows == drows
         status = "OK" if ok else "MISMATCH"
         print(f"{name}: {status} (spark {len(srows)} rows, duckdb {len(drows)} rows)")
@@ -87,7 +78,7 @@ def main(argv):
     if failures:
         print("FAILED:", failures)
         return 1
-    print("all requested queries match")
+    print(f"all {len(names)} requested queries match")
     return 0
 
 

@@ -4,9 +4,10 @@ the per-round driver run appends to an already-estimated series.
 Run: python tools/seed_exsub_series.py [pairs]
 """
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import (  # noqa: E402
     EXSUB_PAIRS_PROTOCOL,
