@@ -35,7 +35,6 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, warehouse):
     )
     plan = _plan(joined)
     # co-located buckets: the join itself needs NO Exchange on either side
-    join_section = plan.split("HashAggregate")[-1]
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan

@@ -5,41 +5,24 @@ mismatch here at sf0.001 is strictly cheaper than at the driver's sf0.01."""
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+# One normalization for all three driver-gate mirrors (this suite,
+# tools/oracle_check.py, scripts/dress_rehearsal.py): the round-6 review
+# found two of them had already drifted, and this file carried a third
+# hand-maintained copy — now imported from the shared core.
+from tools.compare_core import register_views, rowset as _rowset
 
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    register_views(con, sf_dir)
     yield con
     con.close()
-
-
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.10g}"
-    return str(v)
-
-
-def _rowset(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
 
 
 ORACLE_NAMES = sorted(entrymod.oracle_sql().keys())
