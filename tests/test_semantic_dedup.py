@@ -178,3 +178,31 @@ def test_kmeans_path_runs_when_available(spark, frames):
         groups.setdefault((r["list_id"], r["group_rep"]), 0)
         groups[(r["list_id"], r["group_rep"])] += int(r["keep"])
     assert all(v == 1 for v in groups.values())
+
+
+def test_carry_across_arrow_batches_matches_default(spark, frames):
+    """Tiny Arrow batches force every cluster to span batch boundaries —
+    the run-carry path must produce the identical result set, both for
+    normal clusters (vectors concatenated across batches) and for
+    OVERSIZED clusters (the pass-through flag set mid-carry: the first
+    batch's slice is under max_cluster, the continuation pushes it
+    over, ids keep accumulating while the vector block is dropped)."""
+    _, _, vecs, centroids = frames
+
+    def run(max_cluster=None):
+        kw = {} if max_cluster is None else {"max_cluster": max_cluster}
+        return sorted(
+            map(tuple, semantic_dedup(vecs, eps=EPS, centroids=centroids, **kw).collect())
+        )
+
+    want, want_over = run(), run(max_cluster=5)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        got, got_over = run(), run(max_cluster=5)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == want
+    assert got_over == want_over
+    # the capped variant really did pass through un-deduped
+    assert all(r[3] for r in got_over)
