@@ -92,9 +92,14 @@ def chunk_dedup(docs: DataFrame) -> DataFrame:
     one shuffle on doc_id for reassembly. No driver-side state, no
     quadratic scan; hot chunks (boilerplate repeated millions of times)
     stay a single window group whose rows are (doc_id, pos) pairs only —
-    the chunk string itself is the key, never multiplied."""
-    ex = docs.select(
-        "doc_id", F.posexplode(_chunks_col(_words_col())).alias("pos", "chunk")
+    the chunk string itself is the key, never multiplied.
+
+    The words array is staged as its own projection: _chunks_col's
+    per-chunk slice lambda would otherwise re-split the whole text once
+    per chunk (higher-order lambdas re-evaluate non-lambda subtrees per
+    element — the repetition_scores lesson)."""
+    ex = docs.select("doc_id", _words_col().alias("ws")).select(
+        "doc_id", F.posexplode(_chunks_col(F.col("ws"))).alias("pos", "chunk")
     )
     rn = F.row_number().over(
         W.partitionBy("chunk").orderBy(F.asc("doc_id"), F.asc("pos"))
@@ -496,10 +501,15 @@ def boilerplate_chunks(docs: DataFrame) -> DataFrame:
     ws = F.filter(F.split(planted, " "), lambda x: x != "")
     # persisted: the split/chunk/posexplode subtree (the expensive stage)
     # feeds BOTH the boiler-frequency branch and the tagged reassembly —
-    # without the persist it would execute twice per action
+    # without the persist it would execute twice per action.
+    # The words array is staged as its own projection: _chunks_col's
+    # per-chunk slice lambda would otherwise re-split the whole planted
+    # text once per chunk (the repetition_scores lesson).
     ex = persist_evicting(
-        docs.select(
-            "doc_id", "source", F.posexplode(_chunks_col(ws)).alias("pos", "chunk")
+        docs.select("doc_id", "source", ws.alias("ws")).select(
+            "doc_id",
+            "source",
+            F.posexplode(_chunks_col(F.col("ws"))).alias("pos", "chunk"),
         )
     )
     per_chunk = ex.groupBy("source", "chunk").agg(

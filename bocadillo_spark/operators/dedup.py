@@ -768,10 +768,15 @@ def chunk_fuzzy_clusters(docs: DataFrame, block_col: str = "source") -> DataFram
     from .cleanops import _chunks_col
     from .textops import _words_col
 
+    # words array staged as its own projection: _chunks_col's per-chunk
+    # slice lambda would otherwise re-split the whole text once per chunk
+    # (the repetition_scores lesson)
     ex = docs.select(
-        F.col(block_col).alias("block"),
+        F.col(block_col).alias("block"), "doc_id", _words_col().alias("ws")
+    ).select(
+        "block",
         "doc_id",
-        F.posexplode(_chunks_col(_words_col())).alias("pos", "chunk"),
+        F.posexplode(_chunks_col(F.col("ws"))).alias("pos", "chunk"),
     )
     iid = (F.col("doc_id") * F.lit(_FUZZY_IID_STRIDE) + F.col("pos")).alias("iid")
     # Evidence guard: a chunk with fewer than 3 words has no true word

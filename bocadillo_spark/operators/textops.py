@@ -191,8 +191,18 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     array_distinct×filter nest would be O(len²) per doc and melt on long
     documents). Both n-gram streams ride one exploded frame so the corpus
     is read and shuffled once. Ratios are int/int double divisions →
-    bit-exact under the DuckDB twin (repetition_oracle_sql)."""
-    ws = _words_col()
+    bit-exact under the DuckDB twin (repetition_oracle_sql).
+
+    The words array is STAGED as its own projection before the n-gram
+    transforms: higher-order lambdas re-evaluate every non-lambda subtree
+    per element, so an inline _words_col() would re-split and re-filter
+    the whole text once per n-gram position (O(len²) per doc — the
+    executed r06 plan carried six copies of filter(split(text)), two of
+    them inside the per-element slice lambdas). A multiply-referenced
+    projection is exactly what Catalyst keeps materialized (the
+    _langid_score_cols staging lesson)."""
+    staged = docs.select("doc_id", _words_col().alias("ws"))
+    ws = F.col("ws")
     tagged = F.concat(
         F.transform(
             _word_ngrams(ws, 2),
@@ -203,7 +213,7 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
             lambda s: F.struct(F.lit(3).alias("n"), s.alias("gram")),
         ),
     )
-    grams = docs.select("doc_id", F.explode(tagged).alias("g")).select(
+    grams = staged.select("doc_id", F.explode(tagged).alias("g")).select(
         "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
     )
     counts = grams.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
@@ -275,10 +285,17 @@ def decontaminate(docs: DataFrame) -> DataFrame:
     shuffled on the gram key — the broadcast join filters it map-side and
     only MATCHED n-grams reach the one real shuffle, the per-doc
     count_distinct (partial distinct runs map-side). The planted near-dup
-    pairs in the corpus make the result non-trivial at every SF."""
-    ws = _words_col()
-    ng = docs.select(
-        "doc_id", "lang", F.explode(_word_ngrams(ws, DECONTAM_NGRAM)).alias("g")
+    pairs in the corpus make the result non-trivial at every SF.
+
+    The words array is staged as its own projection (the
+    repetition_scores lesson): an inline _words_col() is re-evaluated per
+    n-gram position inside the slice lambda — O(len²) re-splitting per
+    doc in the executed plan."""
+    staged = docs.select("doc_id", "lang", _words_col().alias("ws"))
+    ng = staged.select(
+        "doc_id",
+        "lang",
+        F.explode(_word_ngrams(F.col("ws"), DECONTAM_NGRAM)).alias("g"),
     )
     is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
     ev = ng.where(is_eval).select("g").distinct()
