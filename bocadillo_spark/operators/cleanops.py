@@ -234,7 +234,14 @@ def unigram_logprob(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
     still sum to the corpus total). max_vocab=None keeps the exact
     untruncated model (what the DuckDB oracle computes); in that mode the
     broadcast is a HINT ONLY on a Zipf-bounded side, and callers with
-    unbounded vocabularies should pass max_vocab."""
+    unbounded vocabularies should pass max_vocab.
+
+    Deliberately NOT persisted (measured r07): the vocab subtree appears
+    under several consumers, but Spark's exchange reuse already shares
+    its shuffle output within the one executed plan — adding persist()
+    (vocab alone, or vocab + the exploded words) measured 0.76-0.84 s vs
+    0.65 s plain at sf0.1. Only the pre-exchange map work (scan+explode)
+    re-runs per copy, and that is cheaper than cache materialization."""
     wexp = docs.select("doc_id", F.explode(_words_col()).alias("word"))
     vocab = wexp.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     if max_vocab is not None:
@@ -342,7 +349,19 @@ def dsir_doc_scores(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
     minus its final per-lang rollup — extracted so compositions (the
     curation pipeline) can keep the SAMPLED DOCUMENTS rather than the
     summary; importance_resample wraps this with an identical plan. See
-    its docstring for the model, exactness, and scale-shape contract."""
+    its docstring for the model, exactness, and scale-shape contract.
+
+    Persisted frame: the joined vocab feeds TWO consumers (the smoothing
+    constants and the broadcast), and each rebuild re-ran BOTH model
+    passes — the executed r06 plan carried five copies of the
+    tokenize+explode subtree; caching the vocab cuts it to three. The
+    exploded word frame itself is deliberately NOT persisted: measured at
+    sf0.1 the cache materialization of the corpus-scale frame costs more
+    than the scan+explode it saves (and at 100 TB a corpus-scale cache is
+    memory pressure, guide §5 — the vocab is the Zipf-bounded small
+    frame)."""
+    from .dedup import persist_evicting
+
     wexp = docs.select("doc_id", "lang", F.explode(_words_col()).alias("word"))
     call = wexp.groupBy("word").agg(F.count(F.lit(1)).alias("c_all"))
     ctgt = (
@@ -350,8 +369,10 @@ def dsir_doc_scores(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c_tgt"))
     )
-    vocab = call.join(ctgt, "word", "left").select(
-        "word", "c_all", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    vocab = persist_evicting(
+        call.join(ctgt, "word", "left").select(
+            "word", "c_all", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+        )
     )
     consts = vocab.agg(
         F.sum("c_all").alias("n_all"),

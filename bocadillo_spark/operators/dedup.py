@@ -791,13 +791,24 @@ def chunk_fuzzy_clusters(docs: DataFrame, block_col: str = "source") -> DataFram
     # contract is family-robust: variant footer pairs share 9/11 shingles,
     # jaccard ≈ 0.818 → ≥1-band match probability ≈ 1 - (1-0.818⁴)¹⁶ ≈
     # 0.9999 per pair under ANY uniform family)
-    sigs = ex.select(
-        "block",
-        "doc_id",
-        "pos",
-        iid,
-        (F.size(F.split(F.col("chunk"), " ")) >= 3).alias("bandable"),
-        minhash_sig_fast_pandas()(F.col("chunk")).alias("sig"),
+    # persisted: the exploded chunk frame feeds BOTH the banding/edge
+    # branch and the final label join-back — without the persist the
+    # explode re-executes per consumer. The signature kernel is NOT in
+    # this frame: it runs inside the bands branch only, so it executes
+    # once AND only over the bandable rows (the r06 shape computed a
+    # signature for every chunk, tail chunks included, and cached it)
+    base = persist_evicting(
+        ex.select(
+            "block",
+            "doc_id",
+            "pos",
+            iid,
+            (F.size(F.split(F.col("chunk"), " ")) >= 3).alias("bandable"),
+            "chunk",
+        )
+    )
+    sigs = base.where("bandable").select(
+        "block", "iid", minhash_sig_fast_pandas()(F.col("chunk")).alias("sig")
     )
     band_arr = F.array(
         *[
@@ -807,24 +818,31 @@ def chunk_fuzzy_clusters(docs: DataFrame, block_col: str = "source") -> DataFram
             for b in range(N_BANDS)
         ]
     )
-    bands = sigs.where("bandable").select(
-        "block", "iid", F.explode(band_arr).alias("band_key")
-    )
+    bands = sigs.select("block", "iid", F.explode(band_arr).alias("band_key"))
     # per-bucket representative via groupBy + join back: map-side partial
     # aggregation on hot buckets (a Window.partitionBy(block, band_key)
     # min — the previous shape — funnels each hot bucket through ONE task;
     # identical semantics, verdict-flagged round 4)
     reps = bands.groupBy("block", "band_key").agg(F.min("iid").alias("rep"))
+    # Self-edges (iid == rep) are dropped BEFORE connected components:
+    # a singleton bucket's only edge is its rep's self-edge, so filtering
+    # it removes every instance that never shares a bucket (most organic
+    # chunks) from the CC graph entirely — they come back as singleton
+    # clusters via the left join's coalesce below, exactly as the
+    # sub-3-word instances do. A shared bucket's rep stays reachable as
+    # the dst of its members' star edges. No outer .distinct() either:
+    # connected_components dedups its (src, dst) union internally, so the
+    # extra pre-shuffle only added a stage (guide §2.4).
     edges = (
         bands.join(reps, ["block", "band_key"])
+        .where(F.col("iid") != F.col("rep"))
         .select(F.col("iid").alias("doc_id_a"), F.col("rep").alias("doc_id_b"))
-        .distinct()
     )
     labels = connected_components(edges).select(
         F.col("doc_id").alias("iid"), F.col("component").alias("cluster")
     )
     return (
-        sigs.select("block", "doc_id", "pos", "iid")
+        base.select("block", "doc_id", "pos", "iid")
         .join(labels, "iid", "left")
         .select(
             "block",

@@ -143,6 +143,15 @@ def parse_events_native(pages: DataFrame) -> DataFrame:
     if "host" not in pages.columns:
         pages = with_host(pages)
     s = F.decode(F.col("html"), "ISO-8859-1")
+    # ONE regex pass extracts the body: the previous two regexp_extract
+    # calls (group 1 for the matched/empty distinction, group 2 for the
+    # content) each compiled into their own full scan of the page — no CSE
+    # across different group indexes. regexp_extract_all over group 2
+    # yields at most one element (the greedy (.*) consumes through the
+    # LAST </body>, so a second match is impossible) and distinguishes
+    # no-match ([]) from empty-body ([""]) for free; NULL html keeps the
+    # NULL ok it had (F.get, not element_at: returns NULL out-of-bounds
+    # under ANSI instead of erroring).
     base = pages.select(
         "url",
         "warc_ts",
@@ -151,11 +160,15 @@ def parse_events_native(pages: DataFrame) -> DataFrame:
         s.alias("s"),
     ).withColumns(
         {
-            "body_outer": F.regexp_extract("s", _BODY_OUTER_PAT_J, 1),
-            "body": F.regexp_extract("s", _BODY_OUTER_PAT_J, 2),
+            "body_arr": F.regexp_extract_all("s", F.lit(_BODY_OUTER_PAT_J), 2),
             "meta_lang_raw": F.regexp_extract("s", _META_PAT_J, 1),
         }
-    ).withColumn("ok", F.col("body_outer") != "")
+    ).withColumns(
+        {
+            "ok": F.when(F.col("s").isNotNull(), F.size("body_arr") > 0),
+            "body": F.get("body_arr", 0),
+        }
+    )
     exploded = base.select(
         "url",
         "warc_ts",
