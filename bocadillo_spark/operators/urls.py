@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 # strip list: UTM campaign tags + click identifiers + bare ref).
 TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|ref)="
 
+# scheme matched case-insensitively: recrawls arrive as HTTPS:// too
+_AUTHORITY_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)"
+_REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$"
+
 
 def canonical_url(u):
     """Canonicalize a URL column: drop the #fragment, strip tracking
@@ -37,9 +41,8 @@ def canonical_url(u):
         F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(base)
     # 3. scheme+host lowercase, path/query case preserved
-    # scheme matched case-insensitively: recrawls arrive as HTTPS:// too
-    authority = F.regexp_extract(rebuilt, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
-    rest = F.regexp_extract(rebuilt, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$", 1)
+    authority = F.regexp_extract(rebuilt, _AUTHORITY_RE, 1)
+    rest = F.regexp_extract(rebuilt, _REST_RE, 1)
     return F.concat(F.lower(authority), rest)
 
 
@@ -78,9 +81,38 @@ def recrawl_variants(pages: DataFrame) -> DataFrame:
 def url_dedup(crawl: DataFrame) -> DataFrame:
     """Collapse recrawled URL spellings: canonicalize (map-side) then one
     groupBy on the canonical key — keep the earliest fetch, count the
-    collapsed spellings."""
+    collapsed spellings.
+
+    The canonicalization runs as STAGED projections rather than the one
+    deep canonical_url expression: that tree references rebuilt twice,
+    kept twice and base twice, and the interpreted filter() sits outside
+    codegen CSE, so the inline form re-evaluated the whole strip chain
+    per reference. Same subexpressions composed in the same order —
+    values identical to canonical_url (which stays as the single-column
+    form for scalar callers)."""
+    u = F.regexp_replace(F.col("url"), "#.*", "")
+    query = F.when(F.col("u").contains("?"), F.substring_index(F.col("u"), "?", -1))
+    kept = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    rebuilt = F.when(
+        F.size("kept") > 0,
+        F.concat(F.col("base"), F.lit("?"), F.array_join("kept", "&")),
+    ).otherwise(F.col("base"))
+    canon = F.concat(
+        F.lower(F.regexp_extract("rb", _AUTHORITY_RE, 1)),
+        F.regexp_extract("rb", _REST_RE, 1),
+    )
     return (
-        crawl.select(canonical_url(F.col("url")).alias("canonical_url"), "warc_ts")
+        crawl.select(u.alias("u"), "warc_ts")
+        .select(
+            F.substring_index(F.col("u"), "?", 1).alias("base"),
+            kept.alias("kept"),
+            "warc_ts",
+        )
+        .select(rebuilt.alias("rb"), "warc_ts")
+        .select(canon.alias("canonical_url"), "warc_ts")
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_variants"),

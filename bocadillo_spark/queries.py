@@ -1394,15 +1394,24 @@ def q_dedup_exact(spark, sf_dir):
        FROM documents""",
 )
 def q_text_stats(spark, sf_dir):
-    """Token counting + quality scoring, all JVM-side expressions."""
+    """Token counting + quality scoring, all JVM-side expressions. The
+    token and stopword arrays are staged as projections so each split/
+    filter evaluates once per row (the inline form re-split the text
+    three times and re-filtered twice — interpreted higher-order exprs
+    sit outside codegen CSE)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    stops = F.filter(toks, lambda x: (x == "the") | (x == "a"))
-    return docs.select(
+    staged = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(stops).cast("long").alias("n_stop"),
-        (F.size(stops).cast("double") / F.size(toks)).alias("stop_ratio"),
+        "toks",
+        F.filter(F.col("toks"), lambda x: (x == "the") | (x == "a")).alias("stops"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("stops").cast("long").alias("n_stop"),
+        (F.size("stops").cast("double") / F.size("toks")).alias("stop_ratio"),
     )
 
 
@@ -2950,10 +2959,18 @@ def q_ann_cosine_topk(spark, sf_dir):
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
 
+    # norms hoisted to their own sides BEFORE the cross join: the inline
+    # form re-ran the interpreted self-dot folds once per (query,
+    # candidate) PAIR (3 folds/pair); staging evaluates each norm once
+    # per row and leaves one fold per pair. Float-identical: same
+    # operations in the same order, sqrt(dot(x,x)) just computed earlier.
+    q = q.select("q_id", "qe", F.sqrt(dot(F.col("qe"), F.col("qe"))).alias("qn"))
+    c = c.select(
+        "neighbor_id", "ce", F.sqrt(dot(F.col("ce"), F.col("ce"))).alias("cn")
+    )
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "cos",
-        dot(F.col("qe"), F.col("ce"))
-        / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))),
+        dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")),
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
