@@ -351,17 +351,15 @@ def dsir_doc_scores(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
     summary; importance_resample wraps this with an identical plan. See
     its docstring for the model, exactness, and scale-shape contract.
 
-    Persisted frame: the joined vocab feeds TWO consumers (the smoothing
-    constants and the broadcast), and each rebuild re-ran BOTH model
-    passes — the executed r06 plan carried five copies of the
-    tokenize+explode subtree; caching the vocab cuts it to three. The
-    exploded word frame itself is deliberately NOT persisted: measured at
-    sf0.1 the cache materialization of the corpus-scale frame costs more
-    than the scan+explode it saves (and at 100 TB a corpus-scale cache is
-    memory pressure, guide §5 — the vocab is the Zipf-bounded small
-    frame)."""
-    from .dedup import persist_evicting
-
+    Deliberately NOT persisted (measured r07, same verdict as
+    unigram_logprob): the vocab subtree appears under several consumers,
+    but Spark's exchange reuse already shares its shuffle output within
+    the one executed plan — adding persist() (vocab alone, or vocab +
+    the exploded words) measured consistently slower in interleaved A/B
+    at sf0.1 (importance_resample ~1.05 s plain vs ~1.25 s with the
+    vocab persisted; curation_pipeline ~3.45 s vs ~3.65 s). Only the
+    pre-exchange map work re-runs per copy, and that is cheaper than
+    cache materialization."""
     wexp = docs.select("doc_id", "lang", F.explode(_words_col()).alias("word"))
     call = wexp.groupBy("word").agg(F.count(F.lit(1)).alias("c_all"))
     ctgt = (
@@ -369,10 +367,8 @@ def dsir_doc_scores(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c_tgt"))
     )
-    vocab = persist_evicting(
-        call.join(ctgt, "word", "left").select(
-            "word", "c_all", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
-        )
+    vocab = call.join(ctgt, "word", "left").select(
+        "word", "c_all", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
     )
     consts = vocab.agg(
         F.sum("c_all").alias("n_all"),

@@ -122,21 +122,32 @@ def word_3gram_col(text_col: Column) -> Column:
     construction q_ngram_jaccard_planted proves against its exact DuckDB
     oracle; shared here so the MinHash signature and verify steps use the
     same definition). Short texts (<3 tokens) pad with empty strings —
-    hashing.word_shingles mirrors this exactly."""
+    hashing.word_shingles mirrors this exactly.
+
+    Built from zip_with over shifted slices rather than a per-index
+    transform: the sequence+get form re-evaluated the embedded split()
+    three times PER SHINGLE (higher-order lambdas re-run non-lambda
+    subtrees per element — O(len²) per row); slices reference the token
+    array only at row level, and zip_with pads the shorter side with
+    NULL, which the same coalesce('') turns into the identical padding
+    the get() form produced."""
     toks = F.split(text_col, " ")
     n = F.size(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-            lambda i: F.concat(
-                F.get(toks, i - 1),
-                F.lit(" "),
-                F.coalesce(F.get(toks, i), F.lit("")),
-                F.lit(" "),
-                F.coalesce(F.get(toks, i + 1), F.lit("")),
-            ),
-        )
+    m = F.greatest(n - 2, F.lit(1))
+    # every slice is capped at m elements — zip_with pads the SHORTER
+    # side to the longer one, so an uncapped shifted slice would add a
+    # spurious trailing shingle
+    g12 = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda x, y: F.concat(x, F.lit(" "), F.coalesce(y, F.lit(""))),
     )
+    g123 = F.zip_with(
+        g12,
+        F.slice(toks, 3, m),
+        lambda x, y: F.concat(x, F.lit(" "), F.coalesce(y, F.lit(""))),
+    )
+    return F.array_distinct(g123)
 
 
 def jaccard_col(grams_a: Column, grams_b: Column) -> Column:

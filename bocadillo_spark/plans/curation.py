@@ -66,23 +66,33 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
     set is computed over the FULL corpus — eval contamination must be
     judged against everything the eval split contains, not just what
     survived earlier stages."""
-    ws = _words_col()
     # 1) exact dedup: canonical representative = min doc_id per text hash
     keep = (
         docs.groupBy(_md5_utf8(F.col("text")).alias("fp"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    # 2) quality gate (native counts) + eval-split exclusion
-    stops = F.filter(ws, lambda x: (x == "the") | (x == "a"))
+    # 2) quality gate (native counts) + eval-split exclusion; the words
+    # array is staged as its own projection (the text_stats lesson: the
+    # inline form re-split the text once per reference)
     gated = (
         docs.join(keep, "doc_id")
+        .select("doc_id", "lang", "text", _words_col().alias("ws"))
         .select(
             "doc_id",
             "lang",
             "text",
-            F.size(ws).alias("n_tokens"),
-            (F.size(stops).cast("double") / F.size(ws)).alias("stop_ratio"),
+            "ws",
+            F.filter(
+                F.col("ws"), lambda x: (x == "the") | (x == "a")
+            ).alias("stops"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            F.size("ws").alias("n_tokens"),
+            (F.size("stops").cast("double") / F.size("ws")).alias("stop_ratio"),
         )
         .where(
             (F.col("n_tokens") >= CURATION_MIN_TOKENS)

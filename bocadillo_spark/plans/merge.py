@@ -391,7 +391,14 @@ def merge_upsert(
                 for k, info in parent_meta["buckets"].items()
                 if int(k) not in touched
             }
-        kept = cur.join(F.broadcast(keys) if _small(ups) else keys, key_cols, "left_anti")
+        # probe the frame actually being broadcast: `keys` includes ALL
+        # delete keys, so probing `ups` alone would broadcast an
+        # unbounded keyset on a delete-heavy batch (r06 review #1, the
+        # one committed-plan scale-killer — delete-heavy batches now take
+        # the shuffle join instead)
+        kept = cur.join(
+            F.broadcast(keys) if _small(keys) else keys, key_cols, "left_anti"
+        )
         # schema evolution (Iceberg add-column semantics): columns new in
         # this batch backfill NULL for pre-existing rows; columns the batch
         # omits stay NULL for its rows. No column is ever dropped — `kept`

@@ -1851,17 +1851,25 @@ def q_lang_id(spark, sf_dir):
        FROM documents""",
 )
 def q_quality_scores(spark, sf_dir):
+    # token/stopword arrays staged (the text_stats lesson): the inline
+    # form re-split per reference
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    stops = F.filter(toks, lambda x: (x == "the") | (x == "a"))
+    staged = docs.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("toks")
+    ).select(
+        "doc_id",
+        "text",
+        "toks",
+        F.filter(F.col("toks"), lambda x: (x == "the") | (x == "a")).alias("stops"),
+    )
     n_punct = F.length(F.col("text")) - F.length(
         F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9_ ]", "")
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_m"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        (F.size(stops).cast("double") / F.size(toks)).alias("stop_ratio"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("stops").cast("double") / F.size("toks")).alias("stop_ratio"),
         (n_punct.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("punct_ratio"),
     )
 
@@ -2077,7 +2085,11 @@ def q_corpus_top_bigrams(spark, sf_dir):
     from .operators.textops import _word_ngrams, _words_col
 
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(F.explode(_word_ngrams(_words_col(), 2)).alias("gram"))
+    # words array staged (the repetition_scores lesson): inline
+    # _words_col() re-split per bigram position inside the slice lambda
+    grams = docs.select(_words_col().alias("ws")).select(
+        F.explode(_word_ngrams(F.col("ws"), 2)).alias("gram")
+    )
     return (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -2579,13 +2591,19 @@ def q_corpus_curation(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    toks = F.split(F.col("text"), " ")
-    stops = F.filter(toks, lambda x: (x == "the") | (x == "a"))
+    # token/stopword arrays staged (the text_stats lesson)
     kept = docs.join(keep, "doc_id").select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
+    ).select(
         "doc_id",
         "lang",
-        F.size(toks).alias("n_tokens"),
-        (F.size(stops).cast("double") / F.size(toks)).alias("stop_ratio"),
+        "toks",
+        F.filter(F.col("toks"), lambda x: (x == "the") | (x == "a")).alias("stops"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        (F.size("stops").cast("double") / F.size("toks")).alias("stop_ratio"),
     )
     return (
         kept.where((F.col("n_tokens") >= 10) & (F.col("stop_ratio") <= 0.3))

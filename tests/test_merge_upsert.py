@@ -652,3 +652,38 @@ def test_merge_query_workspace_reused(spark):
     assert len(after - before) <= 1, (
         f"each invocation leaked a fresh workspace: {sorted(after - before)}"
     )
+
+
+def test_broadcast_probe_sees_delete_keys(spark, tmp_path, monkeypatch):
+    """The anti-join's broadcast decision must probe the frame actually
+    broadcast — the FULL keyset (upsert keys ∪ delete keys) — not the
+    upsert batch alone: a delete-heavy batch with a tiny upsert side
+    would otherwise broadcast an unbounded delete keyset (r06 review #1,
+    the committed-plan scale-killer). Pins the probed frame's cardinality."""
+    from bocadillo_spark.plans import merge as M
+
+    t = str(tmp_path / "tbl_probe")
+    base = spark.createDataFrame(
+        [(f"u{i}", i, "a") for i in range(10)],
+        "url string, doc_id long, state string",
+    )
+    merge_upsert(spark, t, base, ["url"], batch_id=1)
+
+    probed_counts = []
+    real_small = M._small
+
+    def spy(df):
+        probed_counts.append(df.count())
+        return real_small(df)
+
+    monkeypatch.setattr(M, "_small", spy)
+    # 1 upsert + 8 deletes: the probe must see all 9 distinct keys
+    upd = spark.createDataFrame(
+        [("u0", 0, "b", False)] + [(f"u{i}", i, "a", True) for i in range(1, 9)],
+        "url string, doc_id long, state string, deleted boolean",
+    )
+    merge_upsert(spark, t, upd, ["url"], batch_id=2, delete_col="deleted")
+    assert probed_counts == [9], (
+        f"broadcast probe saw {probed_counts}, expected the full 9-key "
+        "upsert+delete keyset"
+    )
