@@ -241,8 +241,21 @@ def unigram_logprob(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
     its shuffle output within the one executed plan — adding persist()
     (vocab alone, or vocab + the exploded words) measured 0.76-0.84 s vs
     0.65 s plain at sf0.1. Only the pre-exchange map work (scan+explode)
-    re-runs per copy, and that is cheaper than cache materialization."""
-    wexp = docs.select("doc_id", F.explode(_words_col()).alias("word"))
+    re-runs per copy, and that is cheaper than cache materialization.
+
+    In the unbounded mode words flow as xxhash64 identities (the
+    _word_ngram_hashes rationale: model counts and the scoring join need
+    only word EQUALITY, so vocab/broadcast/shuffle rows carry int64 keys;
+    scores identical modulo the repo-wide 2^-64 collision class). The
+    max_vocab mode keeps word strings — its top-V truncation tiebreak is
+    defined on (count desc, word asc) and is pinned by the bounded-vocab
+    DuckDB parity test."""
+    tokens = (
+        _words_col()
+        if max_vocab is not None
+        else F.transform(_words_col(), lambda w: F.xxhash64(w))
+    )
+    wexp = docs.select("doc_id", F.explode(tokens).alias("word"))
     vocab = wexp.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     if max_vocab is not None:
         # Top-V by (count desc, word asc) via a two-pass global top-k
@@ -359,8 +372,19 @@ def dsir_doc_scores(docs: DataFrame, max_vocab: int | None = None) -> DataFrame:
     at sf0.1 (importance_resample ~1.05 s plain vs ~1.25 s with the
     vocab persisted; curation_pipeline ~3.45 s vs ~3.65 s). Only the
     pre-exchange map work re-runs per copy, and that is cheaper than
-    cache materialization."""
-    wexp = docs.select("doc_id", "lang", F.explode(_words_col()).alias("word"))
+    cache materialization.
+
+    In the unbounded mode words flow as xxhash64 identities (the
+    unigram_logprob rationale — both models and the scoring join need
+    only word equality; V, the count of distinct identities, is
+    unchanged modulo the 2^-64 collision class). The max_vocab mode
+    keeps word strings for its pinned (count desc, word asc) tiebreak."""
+    tokens = (
+        _words_col()
+        if max_vocab is not None
+        else F.transform(_words_col(), lambda w: F.xxhash64(w))
+    )
+    wexp = docs.select("doc_id", "lang", F.explode(tokens).alias("word"))
     call = wexp.groupBy("word").agg(F.count(F.lit(1)).alias("c_all"))
     ctgt = (
         wexp.where(F.col("lang") == DSIR_TARGET_LANG)
@@ -610,8 +634,15 @@ def token_entropy(docs: DataFrame) -> DataFrame:
     side of Gopher's repetition family (a 200-token doc of one repeated
     word scores ~0). Two-level groupBy: (doc, word) counts then per-doc
     -sum(p ln p); both shuffles are map-side combined and keyed by
-    doc_id, so the corpus is never globally mixed."""
-    wexp = docs.select("doc_id", F.explode(_words_col()).alias("word"))
+    doc_id, so the corpus is never globally mixed. Words flow as
+    xxhash64 identities (textops._word_ngram_hashes rationale): the
+    (doc, word) counts need only word EQUALITY, so the shuffle carries
+    int64 keys instead of strings; counts — hence the entropy — are
+    identical modulo the repo-wide 2^-64 collision class."""
+    wexp = docs.select(
+        "doc_id",
+        F.explode(F.transform(_words_col(), lambda w: F.xxhash64(w))).alias("word"),
+    )
     wc = wexp.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
     totals = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
     p = F.col("c").cast("double") / F.col("n")

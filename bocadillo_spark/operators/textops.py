@@ -174,6 +174,26 @@ def _word_ngrams(ws, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _word_ngram_hashes(ws, n: int):
+    """array<bigint> of 64-bit n-gram identities over a words column:
+    xxhash64 of each n-word slice (the array hash covers length and
+    every element, so it is a deterministic function of the word
+    SEQUENCE). Replaces the joined-string n-gram as a grouping/join key
+    where only n-gram IDENTITY matters (guide §2.3 — shuffle a few key
+    bytes, not the payload): equal n-grams always collide, two DISTINCT
+    n-grams collide w.p. ~2^-64 — the same contract class the
+    exact-substring and MinHash fast families pin (see
+    cleanops.exsub_oracle_sql's collision argument). Same empty-safety
+    guard as _word_ngrams."""
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.xxhash64(F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def _words_col():
     return F.filter(
         F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""
@@ -203,14 +223,20 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     _langid_score_cols staging lesson)."""
     staged = docs.select("doc_id", _words_col().alias("ws"))
     ws = F.col("ws")
+    # n-grams flow as 64-bit identities (_word_ngram_hashes), never as
+    # joined strings: the aggregation needs only gram EQUALITY (counts,
+    # max, distinct), so the shuffle carries (doc_id, n, int64) rows
+    # instead of (doc_id, n, ~20-byte string) and no per-gram string is
+    # ever allocated. Counts — hence both ratios — are identical modulo
+    # the 2^-64 cross-gram collision class pinned repo-wide.
     tagged = F.concat(
         F.transform(
-            _word_ngrams(ws, 2),
-            lambda s: F.struct(F.lit(2).alias("n"), s.alias("gram")),
+            _word_ngram_hashes(ws, 2),
+            lambda h: F.struct(F.lit(2).alias("n"), h.alias("gram")),
         ),
         F.transform(
-            _word_ngrams(ws, 3),
-            lambda s: F.struct(F.lit(3).alias("n"), s.alias("gram")),
+            _word_ngram_hashes(ws, 3),
+            lambda h: F.struct(F.lit(3).alias("n"), h.alias("gram")),
         ),
     )
     grams = staged.select("doc_id", F.explode(tagged).alias("g")).select(
@@ -292,10 +318,15 @@ def decontaminate(docs: DataFrame) -> DataFrame:
     n-gram position inside the slice lambda — O(len²) re-splitting per
     doc in the executed plan."""
     staged = docs.select("doc_id", "lang", _words_col().alias("ws"))
+    # n-grams flow as 64-bit identities (_word_ngram_hashes): the eval
+    # set, the broadcast, the join and the per-doc count_distinct all
+    # need only 8-gram EQUALITY, so no ~45-byte joined string is ever
+    # built or shuffled and the broadcast eval set shrinks ~5x. Matched
+    # counts are identical modulo the 2^-64 collision class.
     ng = staged.select(
         "doc_id",
         "lang",
-        F.explode(_word_ngrams(F.col("ws"), DECONTAM_NGRAM)).alias("g"),
+        F.explode(_word_ngram_hashes(F.col("ws"), DECONTAM_NGRAM)).alias("g"),
     )
     is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
     ev = ng.where(is_eval).select("g").distinct()
